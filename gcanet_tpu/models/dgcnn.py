@@ -1,0 +1,71 @@
+"""DGCNN edge-conv encoder (reference: dgcnn-hais-concat-direct-4.py:455-534).
+
+Channels-last, fixed shapes, all three edge convolutions fused into one jit
+region.  The neighbour search of the first layer (position-normal metric,
+dgcnn-4.py:493) is shared with the embedding head's normal-angle feature
+(dgcnn-4.py:691) by the caller.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as fnn
+import jax.numpy as jnp
+
+from gcanet_tpu.models.layers import ConvGNAct, DenseGN
+from gcanet_tpu.ops import knn as knn_ops
+
+
+class EdgeConv(fnn.Module):
+    """One DGCNN edge conv: edge features -> 1x1 conv -> GN -> LeakyReLU -> max_k."""
+
+    features: int
+    groups: int
+    k: int
+    knn_impl: str = "xla"
+
+    @fnn.compact
+    def __call__(self, x, idx: Optional[jnp.ndarray] = None):
+        if idx is None:
+            idx = knn_ops.knn_indices(x, self.k, self.knn_impl)
+        ef = knn_ops.edge_feature(x, idx)                    # [B, N, K, 2C]
+        ef = ConvGNAct(self.features, self.groups)(ef)
+        return jnp.max(ef, axis=2)                           # [B, N, C']
+
+
+class DGCNNEncoderGn(fnn.Module):
+    """dgcnn-4.py:455-534; returns 1280-d per-point features.
+
+    mode==5 consumes ``[B, N, 6]`` (xyz ++ normal) and uses the
+    position-normal metric for the first neighbourhood.
+    """
+
+    mode: int = 5
+    nn_nb: int = 80
+    knn_impl: str = "xla"
+
+    @fnn.compact
+    def __call__(self, x, idx1: Optional[jnp.ndarray] = None):
+        b, n, _ = x.shape
+        k = self.nn_nb
+
+        if self.mode == 5:
+            if idx1 is None:
+                idx1 = knn_ops.knn_points_normals_indices(x, k, self.knn_impl)
+            ef = knn_ops.edge_feature(x, idx1)               # [B, N, K, 12]
+        else:
+            if idx1 is None:
+                idx1 = knn_ops.knn_indices(x, k, self.knn_impl)
+            ef = knn_ops.edge_feature(x, idx1)
+        ef = ConvGNAct(64, 2)(ef)
+        x1 = jnp.max(ef, axis=2)
+
+        x2 = EdgeConv(64, 2, k, self.knn_impl)(x1)
+        x3 = EdgeConv(128, 2, k, self.knn_impl)(x2)
+
+        x_features = jnp.concatenate([x1, x2, x3], axis=-1)  # [B, N, 256]
+        x4 = fnn.relu(DenseGN(1024, 8)(x_features))          # mlp1 + bnmlp1 (dgcnn-4.py:508)
+        x4 = jnp.max(x4, axis=1, keepdims=True)              # global max over points
+        x4 = jnp.broadcast_to(x4, (b, n, 1024))
+        return jnp.concatenate([x4, x_features], axis=-1)    # [B, N, 1280]

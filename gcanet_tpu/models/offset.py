@@ -1,0 +1,80 @@
+"""Key-point attention offset prediction (dgcnn-4.py:351-452).
+
+The reference samples 120 fixed "key points" with a hard-coded numpy seed
+(np.random.seed(1234), dgcnn-4.py:404-406); we reproduce the identical
+permutation so checkpoints/behaviour line up.  Everything else is plain XLA:
+cosine similarity against the keypoints, top-30, KPAM channel attention over
+the sorted-similarity vector, 1x1 convs and a max-pool.
+"""
+
+from __future__ import annotations
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcanet_tpu.models.layers import ConvGNAct, leaky_relu
+
+
+def keypoint_permutation(num_points: int, sampling_ratio: int) -> np.ndarray:
+    """The exact fixed subset of dgcnn-4.py:403-406."""
+    l = np.arange(num_points)
+    rng = np.random.RandomState(1234)
+    rng.shuffle(l)
+    return l[:sampling_ratio]
+
+
+class KPAM(fnn.Module):
+    """Channel-softmax attention over the k sorted similarities (dgcnn-4.py:351-373)."""
+
+    k: int
+
+    @fnn.compact
+    def __call__(self, x, attention_feature):
+        # x: [B, N, K, C]; attention_feature: [B, N, K] (sorted top-k cos sims)
+        a = fnn.Dense(self.k, use_bias=False)(attention_feature)
+        a = fnn.relu(a)
+        a = fnn.Dense(self.k, use_bias=False)(a)
+        a = fnn.softmax(a, axis=-1)                         # softmax over K
+        return x * a[..., None]
+
+
+class OffsetPredModule(fnn.Module):
+    """dgcnn-4.py:376-452: per-point 3-d offsets to the instance centroid."""
+
+    nn_nb: int = 30
+    sampling_ratio: int = 120
+
+    @fnn.compact
+    def __call__(self, points, feature, instance_feature):
+        # points [B, N, 3]; feature [B, N, 128]; instance_feature [B, N, 64]
+        b, n, _ = points.shape
+        sub = jnp.asarray(keypoint_permutation(n, self.sampling_ratio))
+
+        key_points = points[:, sub]                          # [B, S, 3]
+        feature_sampling = feature[:, sub]                   # [B, S, 128]
+        inst_sampling = instance_feature[:, sub]             # [B, S, 64]
+
+        # cos_dist (dgcnn-4.py:326-342): -(1 - cos) = cos - 1
+        fn = instance_feature / jnp.linalg.norm(instance_feature, axis=-1, keepdims=True)
+        gn = inst_sampling / jnp.linalg.norm(inst_sampling, axis=-1, keepdims=True)
+        sim = jnp.einsum("bnc,bkc->bnk", fn, gn) - 1.0       # [B, N, S]
+
+        topk_dist, topk_idx = jax.lax.top_k(sim, self.nn_nb)  # sorted descending
+
+        def take(src):                                        # [B, S, C] -> [B, N, K, C]
+            return jnp.take_along_axis(src[:, None, :, :],
+                                       topk_idx[..., None], axis=2)
+
+        topk_key_points = take(key_points)                    # [B, N, K, 3]
+        topk_feature = take(feature_sampling)                 # [B, N, K, 128]
+
+        direction = topk_key_points - points[:, :, None, :]   # [B, N, K, 3]
+        feat_dir = jnp.concatenate([topk_feature, direction], axis=-1)  # [B,N,K,131]
+
+        attended = KPAM(self.nn_nb)(feat_dir, topk_dist)
+        h = ConvGNAct(128, 2)(attended)                       # conv1 (dgcnn-4.py:390-392)
+        h = jnp.max(h, axis=2)                                # max over K -> [B, N, 128]
+        h = jnp.concatenate([h, feature], axis=-1)            # [B, N, 256]
+        return fnn.Dense(3)(h)                                # mlp_offset

@@ -1,0 +1,316 @@
+"""TPU-native instance grouping: gated ball query + connected components + HAIS.
+
+This module replaces the reference's CUDA/C++ clustering stack:
+  * adjacency-gated ball query      (softgroup/ops/src/bfs_cluster/bfs_cluster.cu:18-120)
+  * affinity matrices               (models/dgcnn-hais-concat-direct-4.py:210-233, 1218-1220)
+  * BFS connected components        (hierarchical_aggregation.cpp:11-42)
+  * fragment/kept/primary split     (hierarchical_aggregation.cpp:44-80)
+  * HAIS set aggregation            (hierarchical_aggregation.cu:22-105)
+  * proposal merge / ordering       (dgcnn-4.py:1272-1287, functions.py:54-72)
+
+Design notes (why this is not a port):
+
+* The reference materialises two N x N affinity matrices per (item, class) as
+  ``exp(-(d/d_max)^2 / 2)`` and gates the radius graph on ``aff > thr``
+  (bfs_cluster.cu:48-52).  Since ``exp`` is monotone, the gate is equivalent to
+  the pure distance test ``d^2 < d_max^2 * (-2 ln thr)`` — so we never build the
+  affinity matrices at all; we build one boolean neighbour matrix per batch item
+  covering all classes at once (class-equality is part of the gate, and the
+  per-class normaliser ``d_max`` enters as a per-class scalar).
+
+* The sequential host BFS becomes iterative min-label propagation with pointer
+  jumping (Shiloach–Vishkin style): O(log N) full sweeps over the dense
+  neighbour mask inside ``lax.while_loop``.  The neighbour relation here is
+  symmetric by construction, so undirected connectivity matches the BFS result.
+  (Deviation: the CUDA kernel caps neighbour lists at 3000 and truncates the
+  global CSR at N*meanActive; we have no such caps.)
+
+* Proposals are returned as fixed-shape per-point assignment channels instead
+  of a dynamic CSR: channel 0 is the point's own kept/primary cluster, channel
+  1 is the primary that absorbed the point's fragment under set-aggregation
+  (test only).  Proposal ids are ordered exactly like the reference merge loop:
+  by (batch item, class, kept-before-primary, discovery order), truncated to
+  ``max_proposals`` (dgcnn-4.py:749-752 applies the cap in training only).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from gcanet_tpu.config import GroupingConfig
+from gcanet_tpu.ops import knn as knn_ops
+
+_BIG_F = 1e30
+_BIG_I = jnp.int32(2**30)
+
+
+class Proposals(NamedTuple):
+    """Fixed-shape proposal set over a flattened batch of B*N points.
+
+    point_pid:  [2, B*N] int32 — proposal id per point per channel, -1 if none.
+                Channel 0: own cluster (kept fragment or primary).
+                Channel 1: absorbing primary under set aggregation (else -1).
+    valid:      [P] bool   — proposal slot used.
+    cls:        [P] int32  — semantic class of the proposal (-1 if unused).
+    batch:      [P] int32  — batch item of the proposal (-1 if unused).
+    size:       [P] int32  — number of channel-0 points (cluster size pre-absorb).
+    num:        scalar int32 — number of valid proposals.
+    """
+
+    point_pid: jnp.ndarray
+    valid: jnp.ndarray
+    cls: jnp.ndarray
+    batch: jnp.ndarray
+    size: jnp.ndarray
+    num: jnp.ndarray
+
+
+def _masked_max(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return jnp.max(jnp.where(mask, x, -_BIG_F))
+
+
+def gated_neighbor_mask(
+    shifted: jnp.ndarray,      # [N, 3] coords + predicted offsets
+    cls: jnp.ndarray,          # [N] int32 semantic argmax
+    emb: jnp.ndarray,          # [N, E] embedding features
+    param: jnp.ndarray,        # [N, 22] primitive parameters
+    num_classes: int,
+    cfg: GroupingConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One batch item's gated radius graph over all classes.
+
+    Returns (nbr [N, N] bool, class_valid [num_classes] bool).
+
+    Semantics per bfs_cluster.cu:48-52 with the affinity construction of
+    dgcnn-4.py:210-233 folded into distance-domain thresholds (see module doc).
+    The affinity normaliser is ``max`` over the class subset's pairwise
+    distances (the subtracted ``min`` is always 0 because the diagonal is
+    zeroed at dgcnn-4.py:219).
+    """
+    n = shifted.shape[0]
+    same_class = cls[:, None] == cls[None, :]
+    eye = jnp.eye(n, dtype=bool)
+    offdiag_same = same_class & ~eye
+
+    counts = jnp.bincount(jnp.clip(cls, 0, num_classes - 1), length=num_classes)
+    class_valid = counts >= cfg.min_npoint
+    pt_class_ok = class_valid[jnp.clip(cls, 0, num_classes - 1)]
+
+    d_geo2 = knn_ops.pairwise_sqdist(shifted)
+    nbr = offdiag_same & (d_geo2 < cfg.radius**2)
+    nbr = nbr & pt_class_ok[:, None] & pt_class_ok[None, :]
+
+    def class_gate(feats: jnp.ndarray, thr: float) -> jnp.ndarray:
+        d2 = jnp.maximum(knn_ops.pairwise_sqdist(feats), 0.0)
+        # per-class max over same-class pairs (incl. diagonal zeros — harmless
+        # for a max of non-negative values): max_{i,j same class c} d2[i,j]
+        flat_cls = jnp.clip(cls, 0, num_classes - 1)
+        row_max = jax.ops.segment_max(
+            jnp.max(jnp.where(same_class, d2, -_BIG_F), axis=1),
+            flat_cls, num_segments=num_classes)
+        dmax2 = jnp.maximum(row_max, 0.0)
+        # aff = exp(-(d/dmax)^2/2) > thr  <=>  d^2 < dmax^2 * (-2 ln thr)
+        if thr <= 0.0:
+            # exp(..) > 0 always holds off-diagonal (and the diagonal is
+            # excluded already); the zeroed diagonal fails "0 > 0" — matches.
+            return jnp.ones_like(d2, dtype=bool)
+        scale = -2.0 * math.log(thr)
+        lim = dmax2[flat_cls] * scale                       # [N]
+        return d2 < lim[:, None]
+
+    nbr = nbr & class_gate(emb, cfg.similarity_threshold_inst)
+    if cfg.similarity_threshold_para > 0.0:
+        nbr = nbr & class_gate(param, cfg.similarity_threshold_para)
+    return nbr, class_valid
+
+
+def connected_components(nbr: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:
+    """Min-label connected components over a symmetric boolean adjacency.
+
+    Returns per-point root label = min point index in the component.
+    Replaces the host BFS at hierarchical_aggregation.cpp:11-42.
+    """
+    n = nbr.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def body(state):
+        labels, _, it = state
+        # full sweep: min over neighbours' labels
+        nbr_min = jnp.min(jnp.where(nbr, labels[None, :], _BIG_I), axis=1)
+        new = jnp.minimum(labels, nbr_min.astype(jnp.int32))
+        # pointer jumping (path compression), a few cheap gathers
+        new = jnp.minimum(new, new[new])
+        new = jnp.minimum(new, new[new])
+        changed = jnp.any(new != labels)
+        return new, changed, it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (idx, jnp.bool_(True), 0))
+    return labels
+
+
+def _cc_stats(labels: jnp.ndarray, shifted: jnp.ndarray):
+    """Per-point component size and centroid of the shifted coords.
+
+    hierarchical_aggregation.cpp:83-98 accumulates (x, y, z) sums per CC; the
+    centres drive set aggregation.
+    """
+    n = labels.shape[0]
+    ones = jnp.ones((n,), jnp.int32)
+    size_at_root = jax.ops.segment_sum(ones, labels, num_segments=n)
+    sum_at_root = jax.ops.segment_sum(shifted, labels, num_segments=n)
+    csize = size_at_root[labels]
+    center_at_root = sum_at_root / jnp.maximum(size_at_root, 1)[:, None]
+    return csize, size_at_root, center_at_root
+
+
+def build_proposals(
+    shifted: jnp.ndarray,       # [B, N, 3]
+    cls: jnp.ndarray,           # [B, N] int32
+    emb: jnp.ndarray,           # [B, N, E]
+    param: jnp.ndarray,         # [B, N, 22]
+    num_classes: int,
+    cfg: GroupingConfig,
+    max_proposals: int,
+    using_set_aggr: bool = False,
+) -> Proposals:
+    """Full grouping pass over a batch; everything static-shape under jit."""
+    b, n, _ = shifted.shape
+    n_total = b * n
+
+    mean_tbl = jnp.asarray(cfg.class_numpoint_mean, jnp.float32)[:num_classes] \
+        if num_classes <= len(cfg.class_numpoint_mean) else \
+        jnp.full((num_classes,), -1.0, jnp.float32)
+
+    def per_item(args):
+        shifted_i, cls_i, emb_i, param_i = args
+        nbr, class_valid = gated_neighbor_mask(
+            shifted_i, cls_i, emb_i, param_i, num_classes, cfg)
+        labels = connected_components(nbr, cfg.cc_max_iters)
+        csize, size_at_root, center_at_root = _cc_stats(labels, shifted_i)
+        return labels, csize, size_at_root, center_at_root, class_valid
+
+    # Sequential map over batch items bounds peak memory at one N x N working set.
+    labels, csize, size_at_root, center_at_root, class_valid = jax.lax.map(
+        per_item, (shifted, cls, emb, param))
+
+    flat_cls = jnp.clip(cls, 0, num_classes - 1)                  # [B, N]
+    cmean = mean_tbl[flat_cls]                                    # [B, N]
+    low = cfg.low_frac * cmean
+    high = cfg.high_frac * cmean
+    fsize = csize.astype(jnp.float32)
+
+    # split_clusters thresholds (hierarchical_aggregation.cpp:53-78):
+    #   size <  high            -> fragment  (kept iff low <= size < high)
+    #   size >= high            -> primary   (note: mean=-1 classes are always primary)
+    is_primary = fsize >= high
+    is_kept = (fsize >= low) & (fsize < high)
+    is_fragment = fsize < high
+    pt_class_ok = class_valid[jnp.arange(b)[:, None], flat_cls]
+    qualifies = (is_primary | is_kept) & pt_class_ok
+
+    # ---- global proposal ordering: (batch, class, kept<primary, root) ----
+    batch_ids = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, n))
+    g_labels = (labels + batch_ids * n).reshape(-1)               # global root ids
+    g_is_root = (labels == jnp.arange(n, dtype=jnp.int32)[None, :]).reshape(-1)
+    g_qual = qualifies.reshape(-1)
+    g_cls = flat_cls.reshape(-1)
+    g_primary = is_primary.reshape(-1)
+    g_batch = batch_ids.reshape(-1)
+    g_idx = jnp.arange(n_total, dtype=jnp.int32)
+
+    # rank fits int32: ((B*C)*2+1) * n_total + n_total < 2^31 for realistic shapes
+    root_rank = ((g_batch * num_classes + g_cls) * 2
+                 + g_primary.astype(jnp.int32)) * n_total + g_idx
+    root_rank = jnp.where(g_is_root & g_qual, root_rank, _BIG_I)
+    order = jnp.argsort(root_rank)                                # [B*N]
+    p = max_proposals
+    top_roots = order[:p].astype(jnp.int32)                       # global root idx per pid
+    top_valid = root_rank[top_roots] < _BIG_I
+
+    # root -> pid scatter (overflow slot at n_total)
+    pid_of_root = jnp.full((n_total + 1,), -1, jnp.int32)
+    scatter_tgt = jnp.where(top_valid, top_roots, n_total)
+    pid_of_root = pid_of_root.at[scatter_tgt].set(
+        jnp.where(top_valid, jnp.arange(p, dtype=jnp.int32), -1))
+    pid_of_root = pid_of_root[:n_total]
+
+    pid_a = jnp.where(g_qual, pid_of_root[g_labels], -1)          # [B*N]
+
+    prop_valid = top_valid
+    prop_cls = jnp.where(top_valid, g_cls[top_roots], -1)
+    prop_batch = jnp.where(top_valid, g_batch[top_roots], -1)
+    prop_size = jnp.where(top_valid, csize.reshape(-1)[top_roots], 0)
+    num = jnp.sum(top_valid.astype(jnp.int32))
+
+    pid_b = jnp.full((n_total,), -1, jnp.int32)
+    if using_set_aggr:
+        # fragment_find_primary_ (hierarchical_aggregation.cu:22-75): for every
+        # fragment CC, the nearest same-class same-item primary absorbs it when
+        # center distance < r_set = 0.01 * sqrt(primary_npoint).
+        g_center = center_at_root.reshape(n_total, 3)             # center at root slots
+        g_frag_root = g_is_root & is_fragment.reshape(-1) & pt_class_ok.reshape(-1)
+        prop_center = g_center[top_roots]                         # [P, 3]
+        prop_is_primary = g_primary[top_roots] & top_valid
+        d2 = jnp.sum((g_center[:, None, :] - prop_center[None, :, :]) ** 2, -1)
+        cand = (prop_is_primary[None, :]
+                & (prop_cls[None, :] == g_cls[:, None])
+                & (prop_batch[None, :] == g_batch[:, None]))
+        d2 = jnp.where(cand, d2, _BIG_F)
+        nearest = jnp.argmin(d2, axis=1).astype(jnp.int32)        # [B*N] -> pid
+        nearest_d2 = jnp.take_along_axis(d2, nearest[:, None], axis=1)[:, 0]
+        r_set2 = (cfg.set_aggr_r_coeff ** 2) * prop_size[nearest].astype(jnp.float32)
+        absorbed = g_frag_root & (nearest_d2 < r_set2)
+        # propagate the root's absorption to all points of the fragment
+        absorb_pid_at_root = jnp.where(absorbed, nearest, -1)     # defined at root slots
+        pid_b = absorb_pid_at_root[g_labels]
+        pid_b = jnp.where(is_fragment.reshape(-1) & (pid_b >= 0), pid_b, -1)
+
+    point_pid = jnp.stack([pid_a, pid_b], axis=0)
+    return Proposals(point_pid=point_pid, valid=prop_valid, cls=prop_cls,
+                     batch=prop_batch, size=prop_size, num=num)
+
+
+# ----------------------------------------------------------------------------
+# Oracle for tests: literal numpy BFS replicating the reference host algorithm.
+# ----------------------------------------------------------------------------
+
+def bfs_clusters_numpy(nbr, cls, mean_tbl, low_frac=0.05, high_frac=0.3):
+    """Reference-style BFS split (hierarchical_aggregation.cpp:44-80) in numpy.
+
+    Returns (labels, kept_roots, primary_roots) with labels = min-index root.
+    """
+    import numpy as np
+    from collections import deque
+
+    n = nbr.shape[0]
+    labels = -np.ones(n, np.int64)
+    kept, primary = [], []
+    for i in range(n):
+        if labels[i] >= 0:
+            continue
+        comp = [i]
+        labels[i] = i
+        q = deque([i])
+        while q:
+            cur = q.popleft()
+            for j in np.nonzero(nbr[cur])[0]:
+                if labels[j] < 0 and cls[j] == cls[cur]:
+                    labels[j] = i
+                    comp.append(j)
+                    q.append(j)
+        mean = mean_tbl[cls[i]]
+        lo, hi = low_frac * mean, high_frac * mean
+        if len(comp) < hi:
+            if lo <= len(comp) < hi:
+                kept.append(i)
+        else:
+            primary.append(i)
+    return labels, kept, primary
