@@ -1,0 +1,110 @@
+"""Synthetic ABC-like scenes for tests and benchmarks (no dataset required).
+
+Generates clouds of labelled primitive instances (planes/spheres/cylinders as
+point blobs on analytic surfaces) with normals, per-point type labels,
+instance ids, 22-d parameter vectors and centroid offsets — the exact batch
+schema of :mod:`gcanet_tpu.data.abc_dataset`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from gcanet_tpu.config import Config
+from gcanet_tpu.data.abc_dataset import collate
+
+
+def _unit(v):
+    return v / (np.linalg.norm(v) + 1e-12)
+
+
+def synth_object(cfg: Config, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+    n = cfg.num_points
+    k = rng.randint(3, 9)                       # instances per object
+    sizes = rng.multinomial(n, np.ones(k) / k)
+    pts, nrm, tgt, igt, par = [], [], [], [], []
+    for i in range(k):
+        m = sizes[i]
+        if m == 0:
+            continue
+        typ = int(rng.choice([1, 3, 4, 5]))     # plane/cone/cylinder/sphere
+        center = rng.uniform(-0.4, 0.4, 3)
+        p22 = np.zeros(22, np.float32)
+        if typ == 1:                            # plane
+            nvec = _unit(rng.randn(3))
+            u = _unit(np.cross(nvec, rng.randn(3)))
+            v = np.cross(nvec, u)
+            uv = rng.uniform(-0.15, 0.15, (m, 2))
+            p = center + uv[:, :1] * u + uv[:, 1:] * v
+            normals = np.tile(nvec, (m, 1))
+            p22[4:7] = nvec
+            p22[7] = nvec @ center
+        elif typ == 5:                          # sphere
+            r = rng.uniform(0.05, 0.2)
+            d = rng.randn(m, 3)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            p = center + r * d
+            normals = d
+            p22[0:3] = center
+            p22[3] = r
+        else:                                   # cylinder / cone as cylinder-ish
+            axis = _unit(rng.randn(3))
+            r = rng.uniform(0.03, 0.12)
+            u = _unit(np.cross(axis, rng.randn(3)))
+            v = np.cross(axis, u)
+            theta = rng.uniform(0, 2 * np.pi, m)
+            h = rng.uniform(-0.15, 0.15, m)
+            ring = np.cos(theta)[:, None] * u + np.sin(theta)[:, None] * v
+            p = center + r * ring + h[:, None] * axis
+            normals = ring
+            if typ == 4:
+                p22[8:11] = axis
+                p22[11:14] = center
+                p22[14] = r
+            else:
+                p22[15:18] = axis
+                p22[18:21] = center
+                p22[21] = 0.5
+        pts.append(p)
+        nrm.append(normals)
+        tgt.append(np.full(m, typ))
+        igt.append(np.full(m, i))
+        par.append(np.tile(p22, (m, 1)))
+
+    points = np.concatenate(pts).astype(np.float32)
+    normals = np.concatenate(nrm).astype(np.float32)
+    t_gt = np.concatenate(tgt).astype(np.int32)
+    i_gt = np.concatenate(igt).astype(np.int32)
+    t_param = np.concatenate(par).astype(np.float32)
+
+    perm = rng.permutation(len(points))
+    points, normals = points[perm], normals[perm]
+    t_gt, i_gt, t_param = t_gt[perm], i_gt[perm], t_param[perm]
+
+    # small instances -> background, centroid offsets (as the real pipeline)
+    inst_num = int(i_gt.max()) + 1
+    pt_mean = np.full((len(points), 3), -100.0, np.float32)
+    pointnum, inst_cls = [], []
+    for i in range(inst_num):
+        idx = np.where(i_gt == i)[0]
+        pt_mean[idx] = points[idx].mean(0)
+        pointnum.append(idx.size)
+        inst_cls.append(int(t_gt[idx[0]]) if idx.size else 0)
+    return {
+        "gt_pc": points,
+        "gt_normal": normals,
+        "T_gt": t_gt,
+        "T_param": t_param,
+        "I_gt": i_gt,
+        "inst_num": inst_num,
+        "inst_pointnum": np.asarray(pointnum, np.int32),
+        "inst_cls": np.asarray(inst_cls, np.int32),
+        "pt_offset_label": pt_mean - points,
+    }
+
+
+def synth_batch(cfg: Config, batch_size: int, seed: int = 0) -> Dict[str, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    return collate([synth_object(cfg, rng) for _ in range(batch_size)], cfg)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from gcanet_tpu.ops import mask_iou as miou_ops
+from gcanet_tpu.ops.mathutil import safe_norm
 from gcanet_tpu.ops import segment as seg
 
 
@@ -42,13 +43,13 @@ def compute_embedding_loss(pred_feat, gt_label, max_instances: int,
         cnt = seg.segment_count(sid, i_max)                        # [I]
         present = cnt > 0
         centers = seg.segment_mean(feat, sid, i_max)               # [I, K]
-        d = jnp.linalg.norm(feat - centers[jnp.clip(sid, 0, i_max - 1)], axis=-1)
+        d = safe_norm(feat - centers[jnp.clip(sid, 0, i_max - 1)], axis=-1)
         pull_per = seg.segment_sum(jax.nn.relu(d - t_pull), sid, i_max)
         pull_per = pull_per / jnp.maximum(cnt, 1)
         n_present = jnp.maximum(jnp.sum(present), 1)
         pull = jnp.sum(jnp.where(present, pull_per, 0.0)) / n_present
 
-        cd = jnp.linalg.norm(centers[:, None, :] - centers[None, :, :], axis=-1)
+        cd = safe_norm(centers[:, None, :] - centers[None, :, :], axis=-1)
         pair = (present[:, None] & present[None, :]
                 & ~jnp.eye(i_max, dtype=bool))
         n_pair = jnp.sum(pair)

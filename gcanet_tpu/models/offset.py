@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gcanet_tpu.models.layers import ConvGNAct, leaky_relu
+from gcanet_tpu.ops.mathutil import safe_norm
 
 
 def keypoint_permutation(num_points: int, sampling_ratio: int) -> np.ndarray:
@@ -57,8 +58,8 @@ class OffsetPredModule(fnn.Module):
         inst_sampling = instance_feature[:, sub]             # [B, S, 64]
 
         # cos_dist (dgcnn-4.py:326-342): -(1 - cos) = cos - 1
-        fn = instance_feature / jnp.linalg.norm(instance_feature, axis=-1, keepdims=True)
-        gn = inst_sampling / jnp.linalg.norm(inst_sampling, axis=-1, keepdims=True)
+        fn = instance_feature / safe_norm(instance_feature, axis=-1, keepdims=True)
+        gn = inst_sampling / safe_norm(inst_sampling, axis=-1, keepdims=True)
         sim = jnp.einsum("bnc,bkc->bnk", fn, gn) - 1.0       # [B, N, S]
 
         topk_dist, topk_idx = jax.lax.top_k(sim, self.nn_nb)  # sorted descending

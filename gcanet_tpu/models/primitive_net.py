@@ -24,6 +24,7 @@ from gcanet_tpu.models.offset import OffsetPredModule
 from gcanet_tpu.ops import grouping as grouping_ops
 from gcanet_tpu.ops import knn as knn_ops
 from gcanet_tpu.ops import voxelize as vox_ops
+from gcanet_tpu.ops.mathutil import safe_norm
 
 
 class ModelOutput(NamedTuple):
@@ -44,7 +45,7 @@ def canonicalize_params(raw: jnp.ndarray) -> jnp.ndarray:
     (axis normalised), cone [15:22] (axis normalised).
     """
     def unit(v):
-        return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
+        return v / (safe_norm(v, axis=-1, keepdims=True) + 1e-12)
 
     sphere = raw[..., 0:4]
     plane = jnp.concatenate([unit(raw[..., 4:7]), raw[..., 7:8]], axis=-1)
@@ -98,7 +99,7 @@ class PrimitiveNet(fnn.Module):
         if mode == 3:
             x_nrm = fnn.relu(DenseGN(256, 4)(x_all))
             nrm = fnn.Dense(3)(x_nrm)
-            normal_per_point = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12)
+            normal_per_point = nrm / (safe_norm(nrm, axis=-1, keepdims=True) + 1e-12)
             points6 = jnp.concatenate([points, normal_per_point], axis=-1)
             idx_emb = knn_ops.knn_points_normals_indices(points6, cfg.nn_nb, cfg.knn_impl)
         else:

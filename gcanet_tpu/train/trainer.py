@@ -1,0 +1,238 @@
+"""Trainer: workspace, checkpoint/resume, LR schedule, train/eval loops.
+
+Mirrors ``trainer_new.py`` behaviour:
+  * workspace + log file                  (:64-83, logging :35-55)
+  * dynamic model import via config       (:85-96) -> model registry here
+  * Adam/SGD + piecewise LR decay         (:98-117, :144-155)
+  * checkpoint load with key intersection (:120-142) -> orbax restore
+  * per-epoch train/eval, periodic + best-metric checkpoint retention
+                                          (:396-478)
+  * throughput accounting (`example/sec`) every 50 batches (:226-247)
+
+Observability is a JSONL scalar stream (+ stdout) instead of TF1 summaries
+(utils/tf_logger.py replacement); each record carries step, epoch and wall
+time so any dashboard can consume it.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcanet_tpu.config import Config
+from gcanet_tpu.models.primitive_net import PrimitiveNet
+from gcanet_tpu.train import instances as inst_utils
+from gcanet_tpu.train import metrics as metric_utils
+from gcanet_tpu.train import step as step_lib
+
+
+class ScalarLogger:
+    """JSONL scalar logger (replaces utils/tf_visualizer.py)."""
+
+    def __init__(self, log_dir: str, name: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, f"scalars_{name}.jsonl")
+
+    def log_scalars(self, scalars: Dict[str, float], step: int):
+        rec = {"step": int(step), "time": time.time()}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.build_workspace()
+        self.build_model_optimizer()
+        self.train_viz = ScalarLogger(cfg.log_dir, "train")
+        self.test_viz = ScalarLogger(cfg.log_dir, "test")
+        logging.basicConfig(level=logging.INFO)
+        self.logger = logging.getLogger("Train")
+        fh = logging.FileHandler(os.path.join(cfg.log_dir, "trainlog.log"))
+        fh.setFormatter(logging.Formatter("%(asctime)s---%(message)s"))
+        self.logger.addHandler(fh)
+
+    # ------------------------------------------------------------------ setup
+    def build_workspace(self):
+        os.makedirs(self.cfg.log_dir, exist_ok=True)
+        self.ckpt_dir = os.path.abspath(
+            self.cfg.checkpoint_path or os.path.join(self.cfg.log_dir, "checkpoint"))
+
+    def build_model_optimizer(self):
+        cfg = self.cfg
+        self.model = PrimitiveNet(cfg)
+        self.tx = step_lib.make_optimizer(cfg)
+        self.mesh = step_lib.make_mesh(cfg)
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.state = step_lib.init_state(cfg, self.model, self.tx, rng)
+        n_params = sum(x.size for x in jax.tree.leaves(self.state.params))
+        print(f"parameters number: {n_params / 1e6:.2f} M")
+        self.train_step = step_lib.make_train_step(cfg, self.model, self.tx, self.mesh)
+        self.eval_step = step_lib.make_eval_step(cfg, self.model)
+        self.start_epoch = 0
+        if not cfg.not_load_model:
+            self.load_checkpoint()
+
+    # ------------------------------------------------------------ checkpoints
+    def load_checkpoint(self):
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(self.ckpt_dir, "latest")
+        if not os.path.isdir(path):
+            return
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(path, self.state)
+        self.state = restored
+        meta_path = os.path.join(self.ckpt_dir, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.start_epoch = json.load(f).get("epoch", 0)
+        print(f"Successfully Load Model with {self.start_epoch} epoch...")
+
+    def save_checkpoint(self, epoch: int, tag: str = "latest",
+                        metrics: Optional[Dict] = None):
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(self.ckpt_dir, tag)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, self.state, force=True)
+        with open(os.path.join(self.ckpt_dir, "meta.json"), "w") as f:
+            json.dump({"epoch": epoch, "metrics": metrics or {}}, f)
+
+    # ------------------------------------------------------------------- data
+    def build_dataloaders(self):
+        cfg = self.cfg
+        from gcanet_tpu.data.abc_dataset import ABCDataset
+
+        train_list = os.path.join(cfg.data_path, cfg.train_dataset)
+        if os.path.exists(train_list):
+            self.train_data = ABCDataset(cfg.data_path, cfg.train_dataset, cfg,
+                                         skip=cfg.train_skip, fold=cfg.train_fold,
+                                         training=True)
+            self.test_data = ABCDataset(cfg.data_path, cfg.test_dataset, cfg,
+                                        skip=cfg.val_skip, training=False)
+        else:
+            print(f"dataset list {train_list} not found -> synthetic data")
+            self.train_data = self.test_data = None
+
+    def _train_batches(self, epoch: int):
+        cfg = self.cfg
+        if self.train_data is not None:
+            yield from self.train_data.batches(cfg.batch_size, shuffle=True,
+                                               seed=cfg.seed + epoch)
+        else:
+            from gcanet_tpu.data.synthetic import synth_batch
+
+            for i in range(32):
+                yield synth_batch(cfg, cfg.batch_size, seed=epoch * 1000 + i)
+
+    def _test_batches(self):
+        cfg = self.cfg
+        if self.test_data is not None:
+            yield from self.test_data.batches(1, shuffle=False)
+        else:
+            from gcanet_tpu.data.synthetic import synth_batch
+
+            for i in range(8):
+                yield synth_batch(cfg, 1, seed=90000 + i)
+
+    # ------------------------------------------------------------------ loops
+    def _set_lr(self, epoch: int):
+        lr = step_lib.lr_for_epoch(self.cfg, epoch)
+        hp = self.state.opt_state.hyperparams
+        hp["learning_rate"] = jnp.asarray(lr, dtype=hp["learning_rate"].dtype)
+        self.train_viz.log_scalars({"lr": lr}, epoch)
+        return lr
+
+    def train_one_epoch(self, epoch: int):
+        cfg = self.cfg
+        self._set_lr(epoch)
+        rng = jax.random.PRNGKey(cfg.seed * 7919 + epoch)
+        stat: Dict[str, float] = {}
+        step_t0 = time.time()
+        n_batches = 0
+        for batch_idx, batch in enumerate(self._train_batches(epoch)):
+            rng, sub = jax.random.split(rng)
+            arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
+            self.state, metrics = self.train_step(self.state, arrays, sub)
+            n_batches += 1
+            for k, v in metrics.items():
+                stat[k] = stat.get(k, 0.0) + float(v)
+            if (batch_idx + 1) % 50 == 0:
+                dt = time.time() - step_t0
+                stat["example/sec"] = cfg.batch_size * 50 / dt
+                self.train_viz.log_scalars(
+                    {k: v / 50 if k != "example/sec" else v for k, v in stat.items()},
+                    (epoch * 10_000 + batch_idx) * cfg.batch_size)
+                msg = " ".join(f"{k}: {v / 50:.3f}" for k, v in sorted(stat.items())
+                               if k != "example/sec")
+                self.logger.info(f"batch {batch_idx + 1}: {msg} "
+                                 f"({stat['example/sec']:.2f} ex/s)")
+                stat = {}
+                step_t0 = time.time()
+        return n_batches
+
+    def test_one_epoch(self, epoch: int):
+        cfg = self.cfg
+        stat: Dict[str, float] = {}
+        cnt = 0
+        for batch in self._test_batches():
+            arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
+            out, total, ld = self.eval_step(self.state.params,
+                                            self.state.batch_stats, arrays)
+            # host-side instance extraction + metrics (train_new.py:157-165)
+            pid = np.asarray(out.proposals.point_pid)
+            sem = np.asarray(out.semantic_scores)
+            preds = inst_utils.get_instances(
+                pid, sem, np.asarray(out.instance.cls_scores),
+                np.asarray(out.instance.iou_scores),
+                np.asarray(out.instance.mask_scores),
+                np.asarray(out.proposals.valid), cfg.num_primitives)
+            n = sem.shape[0]
+            merged = inst_utils.merge_masks(preds) if preds else np.zeros(n, np.int32)
+            i_gt = np.asarray(arrays["I_gt"][0])
+            miou = metric_utils.compute_miou(merged, i_gt)
+            type_miou = metric_utils.compute_type_miou_abc(
+                np.asarray(out.type_per_point[0]), np.asarray(arrays["T_gt"][0]),
+                merged, i_gt)
+            for k, v in dict(ld, miou=miou, type_miou=type_miou).items():
+                stat[k] = stat.get(k, 0.0) + float(v)
+            cnt += 1
+        avg = {k: v / max(cnt, 1) for k, v in stat.items()}
+        self.test_viz.log_scalars(avg, epoch)
+        self.logger.info("eval " + " ".join(f"{k}: {v:.4f}" for k, v in sorted(avg.items())))
+        return avg.get("miou", 0.0), avg.get("type_miou", 0.0)
+
+    def train(self):
+        cfg = self.cfg
+        self.build_dataloaders()
+        max_miou, max_type_miou = 0.0, 0.0
+        for epoch in range(self.start_epoch, cfg.max_epoch):
+            print(f"**** EPOCH {epoch:03d} **** lr "
+                  f"{step_lib.lr_for_epoch(cfg, epoch):f}")
+            if cfg.eval:
+                self.test_one_epoch(epoch)
+                break
+            self.train_one_epoch(epoch)
+            if epoch % cfg.save_interval == cfg.save_interval - 1:
+                self.save_checkpoint(epoch + 1, tag=f"eval{epoch}")
+            if epoch % cfg.eval_interval == cfg.eval_interval - 1:
+                miou, type_miou = self.test_one_epoch(epoch)
+                self.save_checkpoint(epoch + 1, tag="latest",
+                                     metrics={"miou": miou, "type_miou": type_miou})
+                if miou >= max_miou:
+                    max_miou = miou
+                    self.save_checkpoint(epoch + 1, tag="max_miou",
+                                         metrics={"miou": miou, "type_miou": type_miou})
+                elif type_miou >= max_type_miou:
+                    max_type_miou = type_miou
+                    self.save_checkpoint(epoch + 1, tag="max_type_miou",
+                                         metrics={"miou": miou, "type_miou": type_miou})

@@ -1,0 +1,99 @@
+"""Module-level checks: GroupNorm parity with torch, masked dense conv ==
+submanifold sparse conv at active sites, model forward/grad smoke (the
+"5-step loss decreases" pattern lives in test_train_step.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flax.linen as fnn
+
+
+def test_groupnorm_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    b, n, k, c = 2, 5, 4, 8
+    x = rng.randn(b, n, k, c).astype(np.float32)
+
+    gn = fnn.GroupNorm(num_groups=2, epsilon=1e-5)
+    vars_ = gn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(gn.apply(vars_, jnp.asarray(x)))
+
+    tgn = torch.nn.GroupNorm(2, c)   # torch layout: [B, C, ...spatial]
+    with torch.no_grad():
+        ref = tgn(torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_masked_dense_conv_equals_sparse():
+    """Dense conv with zeroed inactive voxels + output masking must equal a
+    direct submanifold computation (sum over active neighbours, outputs only
+    at active sites)."""
+    from gcanet_tpu.models.instance_head import SubMConv3d
+
+    rng = np.random.RandomState(1)
+    g, cin, cout = 6, 3, 5
+    active = rng.rand(1, g, g, g) < 0.3
+    x = rng.randn(1, g, g, g, cin).astype(np.float32) * active[..., None]
+
+    conv = SubMConv3d(cout)
+    vars_ = conv.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(active))
+    got = np.asarray(conv.apply(vars_, jnp.asarray(x), jnp.asarray(active)))
+    w = np.asarray(vars_["params"]["Conv_0"]["kernel"])  # [3,3,3,cin,cout]
+
+    ref = np.zeros((1, g, g, g, cout), np.float32)
+    for ix in range(g):
+        for iy in range(g):
+            for iz in range(g):
+                if not active[0, ix, iy, iz]:
+                    continue
+                acc = np.zeros(cout, np.float32)
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        for dz in (-1, 0, 1):
+                            jx, jy, jz = ix + dx, iy + dy, iz + dz
+                            if 0 <= jx < g and 0 <= jy < g and 0 <= jz < g \
+                                    and active[0, jx, jy, jz]:
+                                acc += x[0, jx, jy, jz] @ w[dx + 1, dy + 1, dz + 1]
+                ref[0, ix, iy, iz] = acc
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_masked_batchnorm_stats_over_active_only():
+    from gcanet_tpu.models.layers import MaskedBatchNorm
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(4, 10, 3).astype(np.float32)
+    active = rng.rand(4, 10) < 0.5
+    bn = MaskedBatchNorm()
+    vars_ = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True,
+                    active=jnp.asarray(active))
+    y, _ = bn.apply(vars_, jnp.asarray(x), train=True, active=jnp.asarray(active),
+                    mutable=["batch_stats"])
+    y = np.asarray(y)
+    flat = x[active]
+    mean, var = flat.mean(0), flat.var(0)
+    ref = (x - mean) / np.sqrt(var + 1e-4)
+    np.testing.assert_allclose(y[active], ref[active], atol=1e-4)
+    assert (y[~active] == 0).all()
+
+
+def test_offset_keypoints_deterministic():
+    from gcanet_tpu.models.offset import keypoint_permutation
+
+    a = keypoint_permutation(7000, 120)
+    b = keypoint_permutation(7000, 120)
+    np.testing.assert_array_equal(a, b)
+    assert len(np.unique(a)) == 120
+
+
+def test_canonicalize_params_unit_norms():
+    from gcanet_tpu.models.primitive_net import canonicalize_params
+
+    raw = jnp.asarray(np.random.RandomState(3).randn(2, 10, 22).astype(np.float32))
+    out = np.asarray(canonicalize_params(raw))
+    for sl in [(4, 7), (8, 11), (15, 18)]:
+        nrm = np.linalg.norm(out[..., sl[0]:sl[1]], axis=-1)
+        np.testing.assert_allclose(nrm, 1.0, atol=1e-4)
+    np.testing.assert_allclose(out[..., 0:4], np.asarray(raw)[..., 0:4])

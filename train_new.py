@@ -1,0 +1,21 @@
+"""Train / evaluate the TPU-native GCANet framework.
+
+Public entry point compatible with the reference (``python train_new.py`` to
+train, ``python train_new.py --eval`` to test; reference train_new.py:229-232).
+"""
+
+from gcanet_tpu.runtime_setup import enable_compilation_cache
+from option_new import build_option
+
+
+def main():
+    enable_compilation_cache()
+    cfg = build_option()
+    from gcanet_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfg)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
