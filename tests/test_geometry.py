@@ -1,0 +1,141 @@
+"""Geometry stack tests: fits recover known primitives; distances vanish on
+the surface; spline basis sanity; affinity matrices well-formed."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcanet_tpu.geometry import affinity as aff
+from gcanet_tpu.geometry import fit_circle, fitting
+from gcanet_tpu.geometry import primitive_dis as pdis
+from gcanet_tpu.geometry import spline
+
+
+def test_fit_plane_recovers_normal():
+    rng = np.random.RandomState(0)
+    n = np.array([0.0, 0.0, 1.0])
+    pts = rng.randn(200, 3).astype(np.float32)
+    pts[:, 2] = 2.0                                 # plane z = 2
+    w = np.ones((200, 1), np.float32)
+    a, d = fitting.fit_plane(jnp.asarray(pts), jnp.asarray(w))
+    a = np.asarray(a)[0]
+    assert abs(abs(a @ n) - 1.0) < 1e-3
+    assert abs(abs(float(d)) - 2.0) < 1e-3
+
+
+def test_fit_sphere_recovers_center_radius():
+    rng = np.random.RandomState(1)
+    c = np.array([0.5, -0.3, 0.2])
+    r = 0.75
+    d = rng.randn(500, 3)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts = (c + r * d).astype(np.float32)
+    w = np.ones((500, 1), np.float32)
+    center, radius = fitting.fit_sphere(jnp.asarray(pts), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(center)[0], c, atol=1e-3)
+    assert abs(float(radius) - r) < 1e-3
+
+
+def test_fit_cylinder_axis_and_radius():
+    rng = np.random.RandomState(2)
+    axis = np.array([0.0, 0.0, 1.0])
+    r = 0.4
+    theta = rng.uniform(0, 2 * np.pi, 400)
+    h = rng.uniform(-1, 1, 400)
+    pts = np.stack([r * np.cos(theta), r * np.sin(theta), h], 1).astype(np.float32)
+    normals = np.stack([np.cos(theta), np.sin(theta), np.zeros(400)], 1).astype(np.float32)
+    w = np.ones((400, 1), np.float32)
+    a, center, radius = fitting.fit_cylinder(jnp.asarray(pts), jnp.asarray(normals),
+                                             jnp.asarray(w))
+    assert abs(abs(float(np.asarray(a)[:, 0] @ axis)) - 1.0) < 1e-2
+    assert abs(float(radius) - r) < 1e-2
+
+
+def test_fit_cone_recovers_apex_angle():
+    rng = np.random.RandomState(3)
+    theta = 0.5
+    # cone with apex at origin, axis +z
+    t = rng.uniform(0.2, 1.0, 600)
+    phi = rng.uniform(0, 2 * np.pi, 600)
+    r = t * np.tan(theta)
+    pts = np.stack([r * np.cos(phi), r * np.sin(phi), t], 1).astype(np.float32)
+    # outward normals
+    axis_comp = -np.sin(theta)
+    radial = np.cos(theta)
+    normals = np.stack([radial * np.cos(phi), radial * np.sin(phi),
+                        np.full(600, axis_comp)], 1).astype(np.float32)
+    w = np.ones((600, 1), np.float32)
+    apex, a, th = fitting.fit_cone(jnp.asarray(pts), jnp.asarray(normals),
+                                   jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(apex)[:, 0], 0.0, atol=5e-2)
+    assert abs(float(th) - theta) < 5e-2
+
+
+def test_fit_circle_3d():
+    rng = np.random.RandomState(4)
+    t = rng.uniform(0, 2 * np.pi, 100)
+    pts = np.stack([0.6 * np.cos(t) + 1.0, 0.6 * np.sin(t) - 2.0,
+                    np.zeros(100)], 1).astype(np.float32)
+    center, r = fit_circle.fit_circle_3d(jnp.asarray(pts))
+    np.testing.assert_allclose(np.asarray(center)[0], [1.0, -2.0, 0.0], atol=1e-3)
+    assert abs(float(r) - 0.6) < 1e-3
+
+
+def test_distances_vanish_on_surface():
+    rng = np.random.RandomState(5)
+    pts = rng.randn(50, 3).astype(np.float32)
+    pts[:, 2] = 0.0
+    plane = np.zeros((1, 4), np.float32)
+    plane[0, 2] = 1.0                               # z = 0
+    d = np.asarray(pdis.distance_from_plane(jnp.asarray(pts), jnp.asarray(plane)))
+    np.testing.assert_allclose(d, 0.0, atol=1e-6)
+
+    sph = np.array([[0, 0, 0, 1.0]], np.float32)
+    dirs = rng.randn(50, 3)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    d = np.asarray(pdis.distance_from_sphere(jnp.asarray(dirs.astype(np.float32)),
+                                             jnp.asarray(sph)))
+    np.testing.assert_allclose(d, 0.0, atol=1e-5)
+
+
+def test_bspline_basis_partition_of_unity():
+    nu, nv = spline.uniform_knot_bspline(20, 20, 3, 3, 30)
+    np.testing.assert_allclose(nu.sum(1), 1.0, atol=1e-6)
+    np.testing.assert_allclose(nv.sum(1), 1.0, atol=1e-6)
+    # flat control grid -> flat surface
+    u, v = np.meshgrid(np.linspace(0, 1, 20), np.linspace(0, 1, 20), indexing="ij")
+    cp = np.stack([u, v, np.zeros_like(u)], -1).reshape(1, 400, 3).astype(np.float32)
+    pts = np.asarray(spline.sample_points_from_control_points(nu, nv, jnp.asarray(cp)))
+    np.testing.assert_allclose(pts[0, :, 2], 0.0, atol=1e-6)
+    assert pts[0, :, 0].min() >= -1e-6 and pts[0, :, 0].max() <= 1 + 1e-6
+
+
+def test_affinity_normal_shape_and_symmetry():
+    rng = np.random.RandomState(6)
+    xyz = rng.randn(1, 64, 3).astype(np.float32)
+    nrm = rng.randn(1, 64, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    a = np.asarray(aff.construction_affinity_matrix_normal(
+        jnp.asarray(xyz), jnp.asarray(nrm), knn=8))
+    assert a.shape == (1, 64, 64)
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(np.diagonal(a[0]), 0.0, atol=1e-6)
+
+
+def test_affinity_type_well_formed():
+    rng = np.random.RandomState(7)
+    xyz = rng.randn(1, 64, 3).astype(np.float32)
+    types = np.full((1, 64), 1)                     # all plane
+    params = np.zeros((1, 64, 22), np.float32)
+    params[..., 6] = 1.0                            # plane normal +z
+    a = np.asarray(aff.construction_affinity_matrix_type(
+        jnp.asarray(xyz), jnp.asarray(types), jnp.asarray(params)))
+    assert a.shape == (1, 64, 64)
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a[0], a[0].T, atol=1e-5)
+
+
+def test_entropy_finite():
+    feat = np.random.RandomState(8).randn(1, 128, 16).astype(np.float32)
+    e = float(aff.compute_entropy(jnp.asarray(feat)))
+    assert np.isfinite(e) and e > 0
