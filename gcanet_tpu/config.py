@@ -116,6 +116,7 @@ class Config:
     nn_nb: int = 80                   # encoder kNN (dgcnn-4.py:545 nn_nb)
     offset_knn: int = 30              # OFFSET_PRED_MODULE nn_nb (dgcnn-4.py:552)
     offset_keypoints: int = 120       # OFFSET_PRED_MODULE sampling_ratio
+    offset_variant: str = "kpam"      # "kpam" (dgcnn-4) | "dual" (dgcnn-2, nn_nb=60)
     max_instances: int = 80           # static pad for GT instances per batch item
     precision: str = "fp32"           # fp32 | bf16 (matmul inputs)
     knn_impl: str = "xla"             # xla | pallas

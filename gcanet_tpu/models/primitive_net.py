@@ -119,8 +119,16 @@ class PrimitiveNet(fnn.Module):
         opc = jnp.concatenate([x_all, points6], axis=-1)
         opc = fnn.relu(DenseGN(128, 4)(opc))
         if not cfg.ablation:
-            pt_offsets = OffsetPredModule(cfg.offset_knn, cfg.offset_keypoints)(
-                xyz, opc, embedding)                              # [B, N, 3]
+            if cfg.offset_variant == "dual":
+                # dgcnn-hais-concat-direct-2 variant (dgcnn-2.py:739-741):
+                # passes the type head's raw logits as the semantic feature
+                from gcanet_tpu.models.offset_dual import OffsetPredModuleDual
+
+                pt_offsets = OffsetPredModuleDual(60, cfg.offset_keypoints)(
+                    xyz, opc, type_logits, embedding)
+            else:
+                pt_offsets = OffsetPredModule(cfg.offset_knn, cfg.offset_keypoints)(
+                    xyz, opc, embedding)                          # [B, N, 3]
         else:
             pt_offsets = MLP(3, hidden_features=128)(opc)         # offset_linear
         pt_offsets_flat = pt_offsets.reshape(b * n, 3)
