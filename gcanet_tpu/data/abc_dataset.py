@@ -19,13 +19,13 @@ from the hot path: the model only consumes ``v2p_map`` behind the always-false
 from __future__ import annotations
 
 import os
-from collections import Counter
 from typing import Dict, Iterator, List
 
 import numpy as np
 
 from gcanet_tpu.config import Config
 from gcanet_tpu.data.augment import AUGMENT_ROUTINES
+from gcanet_tpu.data import native
 
 
 def load_h5_object(path: str) -> Dict[str, np.ndarray]:
@@ -58,21 +58,10 @@ def process_object(raw: Dict[str, np.ndarray], cfg: Config, training: bool,
                                   -scale, scale)
         points = (points + noise).astype(np.float32)
 
-    # small instances (<=100 points) -> background (-1)
-    counter = Counter(labels.tolist())
-    mapper = np.full(labels.max() + 1, -1, np.int64)
-    keys = [k for k, v in counter.items() if v > 100]
-    if keys:
-        mapper[keys] = np.arange(len(keys))
-    label = mapper[labels]
-
-    clean_prim = np.full_like(primitives, -1)
-    valid = label != -1
-    clean_prim[valid] = primitives[valid]
-    if cfg.num_primitives == 7:
-        clean_prim[clean_prim == 7] = 6
-        clean_prim[clean_prim == 9] = 6
-        clean_prim[clean_prim == 8] = 2
+    # small instances (<=100 points) -> background, class fold, instance info —
+    # native C++ fast path (csrc/gcadata.cpp) with numpy fallback
+    label, clean_prim = native.relabel(labels, primitives, min_points=100,
+                                       fold7=(cfg.num_primitives == 7))
 
     n = cfg.num_points
     subidx = rng.choice(points.shape[0], n, replace=False)
@@ -80,19 +69,8 @@ def process_object(raw: Dict[str, np.ndarray], cfg: Config, training: bool,
     clean_prim, t_param, label = clean_prim[subidx], t_param[subidx], label[subidx]
 
     # per-instance info (ABCDataset_new.py:157-178)
-    inst_num = max(int(label.max()) + 1, 0)
-    pt_mean = np.full((n, 3), -100.0, np.float32)
-    pointnum, inst_cls = [], []
-    for i in range(inst_num):
-        idx = np.where(label == i)[0]
-        if idx.size:
-            pt_mean[idx] = points[idx].mean(0)
-            pointnum.append(idx.size)
-            inst_cls.append(int(clean_prim[idx[0]]))
-        else:
-            pointnum.append(0)
-            inst_cls.append(0)
-    pt_offset_label = pt_mean - points
+    inst_num, pointnum, inst_cls, pt_offset_label = native.instance_info(
+        points, label, clean_prim, cfg.max_instances)
 
     return {
         "gt_pc": points,
@@ -101,8 +79,8 @@ def process_object(raw: Dict[str, np.ndarray], cfg: Config, training: bool,
         "T_param": t_param,
         "I_gt": label.astype(np.int32),
         "inst_num": inst_num,
-        "inst_pointnum": np.asarray(pointnum, np.int32),
-        "inst_cls": np.asarray(inst_cls, np.int32),
+        "inst_pointnum": pointnum,
+        "inst_cls": inst_cls,
         "pt_offset_label": pt_offset_label,
     }
 
