@@ -39,16 +39,17 @@ def main():
              synth_batch(cfg, cfg.batch_size, seed=0).items() if k != "index"}
 
     rng = jax.random.PRNGKey(1)
-    # compile + warmup
+    # compile + warmup (float() forces completion — the axon plugin's
+    # block_until_ready returns without waiting)
     state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics["total_loss"])
+    float(metrics["total_loss"])
 
     n_iters = 10
     t0 = time.perf_counter()
     for i in range(n_iters):
         rng, sub = jax.random.split(rng)
         state, metrics = train_step(state, batch, sub)
-    jax.block_until_ready(metrics["total_loss"])
+    float(metrics["total_loss"])
     dt = time.perf_counter() - t0
 
     clouds_per_sec = cfg.batch_size * n_iters / dt

@@ -1,0 +1,85 @@
+"""Multi-host / multi-device helpers.
+
+TPU-native equivalents of the reference's NCCL machinery
+(softgroup/util/dist.py): ``init_dist`` becomes jax distributed init;
+``collect_results_gpu/cpu`` (:51-112) becomes ``process_allgather``;
+``get_dist_info`` (:40-48) maps to process index/count; the "master-only"
+logging pattern is ``is_main_process``.  Gradient all-reduce lives inside the
+train step (psum over the mesh) — see gcanet_tpu/train/step.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+import jax
+import numpy as np
+
+
+def init_dist(coordinator: Optional[str] = None, num_processes: int = 1,
+              process_id: int = 0) -> None:
+    """Multi-host initialisation (no-op single-host).  Reference:
+    softgroup/util/dist.py:34-37 init_dist('nccl')."""
+    if num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def get_dist_info():
+    """-> (rank, world_size) (softgroup/util/dist.py:40-48)."""
+    return jax.process_index(), jax.process_count()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def collect_results(part: List[Any]) -> List[Any]:
+    """Gather per-process python results to every process.
+
+    Reference softgroup/util/dist.py:51-76 pickles tensors over NCCL; here we
+    use multihost_utils.process_allgather on object arrays when running
+    multi-process, and identity single-process.
+    """
+    if jax.process_count() == 1:
+        return part
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(part, dtype=object))
+    out: List[Any] = []
+    for row in gathered:
+        out.extend(row.tolist() if hasattr(row, "tolist") else list(row))
+    return out
+
+
+class AverageMeter:
+    """softgroup/util/utils.py:13-51 with cross-process reduction on update."""
+
+    def __init__(self, apply_dist_reduce: bool = False):
+        self.apply_dist_reduce = apply_dist_reduce
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n: int = 1):
+        self.val = float(val)
+        self.sum += float(val) * n
+        self.count += n
+
+    def get_val(self):
+        return self._reduce(self.val)
+
+    def get_avg(self):
+        return self._reduce(self.sum / max(self.count, 1))
+
+    def _reduce(self, v: float) -> float:
+        if not self.apply_dist_reduce or jax.process_count() == 1:
+            return v
+        from jax.experimental import multihost_utils
+
+        vals = multihost_utils.process_allgather(np.asarray([v]))
+        return float(np.mean(vals))
