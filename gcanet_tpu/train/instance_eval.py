@@ -96,3 +96,51 @@ def evaluate_matches(scenes: Sequence[Dict], class_ids: Sequence[int]
     for ci, cls in enumerate(class_ids):
         result[f"class_{cls}_ap"] = nanmean(ap_table[strict, ci])
     return result
+
+
+def panoptic_quality(scenes: Sequence[Dict], class_ids: Sequence[int],
+                     iou_thr: float = 0.5) -> Dict[str, float]:
+    """Panoptic Quality (PQ/SQ/RQ) — equivalent of the vendored
+    softgroup/evaluation PanopticEval.  Matches predicted segments to GT at
+    IoU > thr (unique by construction) and averages per class."""
+    pq_per_class = {}
+    for cls in class_ids:
+        tp, fp, fn = 0, 0, 0
+        iou_sum = 0.0
+        for scene in scenes:
+            rows, n_gt = _scene_matches(scene["preds"], scene["gt_inst"],
+                                        scene["gt_sem"], cls)
+            matched = set()
+            for conf, iou, g in sorted(rows, key=lambda t: -t[1]):
+                if iou > iou_thr and g >= 0 and g not in matched:
+                    matched.add(g)
+                    tp += 1
+                    iou_sum += iou
+                else:
+                    fp += 1
+            fn += n_gt - len(matched)
+        denom = tp + 0.5 * fp + 0.5 * fn
+        sq = iou_sum / tp if tp else 0.0
+        rq = tp / denom if denom else 0.0
+        pq_per_class[cls] = {"pq": sq * rq, "sq": sq, "rq": rq}
+    pq = float(np.mean([v["pq"] for v in pq_per_class.values()])) if pq_per_class else 0.0
+    return {"pq": pq, "per_class": pq_per_class}
+
+
+def pointwise_semantic_eval(pred_sem: np.ndarray, gt_sem: np.ndarray,
+                            num_classes: int, ignore_label: int = -1
+                            ) -> Dict[str, float]:
+    """Point-wise semantic mIoU / accuracy (softgroup/evaluation point_wise_eval
+    equivalent)."""
+    valid = gt_sem != ignore_label
+    p, g = pred_sem[valid], gt_sem[valid]
+    ious = []
+    for c in range(num_classes):
+        inter = np.sum((p == c) & (g == c))
+        union = np.sum((p == c) | (g == c))
+        if union:
+            ious.append(inter / union)
+    return {
+        "miou": float(np.mean(ious)) if ious else 0.0,
+        "acc": float(np.mean(p == g)) if len(p) else 0.0,
+    }
