@@ -89,9 +89,11 @@ class MaskedBatchNorm(fnn.Module):
         beta = self.param("bias", fnn.initializers.zeros, (c,))
 
         if train:
-            flat = x.reshape(-1, c)
+            # statistics in fp32 regardless of compute dtype (bf16 sums over
+            # ~1M voxels would lose several decimal digits)
+            flat = x.reshape(-1, c).astype(jnp.float32)
             if active is not None:
-                m = active.reshape(-1, 1).astype(x.dtype)
+                m = active.reshape(-1, 1).astype(jnp.float32)
                 cnt = jnp.maximum(jnp.sum(m), 1.0)
                 mean = jnp.sum(flat * m, axis=0) / cnt
                 var = jnp.sum(((flat - mean) ** 2) * m, axis=0) / cnt
@@ -104,7 +106,8 @@ class MaskedBatchNorm(fnn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * gamma + beta
+        y = ((x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+             * gamma + beta).astype(x.dtype)
         if active is not None:
             y = y * active[..., None].astype(x.dtype)
         return y

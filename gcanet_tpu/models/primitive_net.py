@@ -138,10 +138,10 @@ class PrimitiveNet(fnn.Module):
         shifted = xyz + pt_offsets
         using_set_aggr = (not train) and cfg.using_set_aggr
         proposals = grouping_ops.build_proposals(
-            jax.lax.stop_gradient(shifted),
+            jax.lax.stop_gradient(shifted).astype(jnp.float32),
             cls_argmax.astype(jnp.int32),
-            jax.lax.stop_gradient(embedding),
-            jax.lax.stop_gradient(param_per_point),
+            jax.lax.stop_gradient(embedding).astype(jnp.float32),
+            jax.lax.stop_gradient(param_per_point).astype(jnp.float32),
             num_cls, cfg.grouping,
             max_proposals=cfg.instance_head.max_proposals,
             using_set_aggr=using_set_aggr)

@@ -53,9 +53,17 @@ def pairwise_dist_points_normals(x: jnp.ndarray) -> jnp.ndarray:
     return pd * (1.0 + nd)
 
 
+# Per-neighbour recall of the approximate search.  Measured on v5e at
+# N=8192, k=80: target 0.9 -> actual recall 0.967 at 14 ms/call vs 0.985 at
+# 29 ms (target 0.95) and exact top_k at 187 ms.  The consumers max-pool over
+# the neighbourhood, so a few percent of swapped near-neighbours is noise.
+APPROX_RECALL_TARGET = 0.9
+
+
 def _topk_neighbors(neg_dist: jnp.ndarray, k: int, impl: str) -> jnp.ndarray:
     if impl == "approx":
-        _, idx = jax.lax.approx_max_k(neg_dist, k, recall_target=0.95)
+        _, idx = jax.lax.approx_max_k(neg_dist, k,
+                                      recall_target=APPROX_RECALL_TARGET)
     else:
         _, idx = jax.lax.top_k(neg_dist, k)
     return idx

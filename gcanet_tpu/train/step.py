@@ -127,10 +127,26 @@ def make_train_step(cfg: Config, model: PrimitiveNet, tx,
     """Returns jitted ``step(state, batch, rng) -> (state, metrics)``."""
 
     def loss_fn(params, batch_stats, batch, rng):
+        if cfg.precision == "bf16":
+            # bf16 storage/compute with fp32 params in the optimizer: cast at
+            # the step boundary (grad of cast = cast back, so gradients return
+            # fp32).  Losses run in fp32 on the (small) head outputs.
+            from gcanet_tpu.utils.precision import _map_floats
+
+            apply_params = _map_floats(params, jnp.bfloat16)
+            apply_batch = dict(batch,
+                               gt_pc=batch["gt_pc"].astype(jnp.bfloat16),
+                               gt_normal=batch["gt_normal"].astype(jnp.bfloat16))
+        else:
+            apply_params, apply_batch = params, batch
         out, mut = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["gt_pc"], batch["gt_normal"], train=True, rng=rng,
+            {"params": apply_params, "batch_stats": batch_stats},
+            apply_batch["gt_pc"], apply_batch["gt_normal"], train=True, rng=rng,
             mutable=["batch_stats"])
+        if cfg.precision == "bf16":
+            from gcanet_tpu.utils.precision import _map_floats
+
+            out = _map_floats(out, jnp.float32)
         total, ld = compute_losses(cfg, out, batch)
         return total, (ld, mut.get("batch_stats", batch_stats))
 
