@@ -68,7 +68,9 @@ class Trainer:
 
     def build_model_optimizer(self):
         cfg = self.cfg
-        self.model = PrimitiveNet(cfg)
+        from gcanet_tpu.models.registry import build_model
+
+        self.model = build_model(cfg)
         self.tx = step_lib.make_optimizer(cfg)
         self.mesh = step_lib.make_mesh(cfg)
         rng = jax.random.PRNGKey(cfg.seed)
@@ -184,6 +186,7 @@ class Trainer:
         cfg = self.cfg
         stat: Dict[str, float] = {}
         cnt = 0
+        self._results_rows = []
         for batch in self._test_batches():
             arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
             out, total, ld = self.eval_step(self.state.params,
@@ -205,11 +208,73 @@ class Trainer:
                 merged, i_gt)
             for k, v in dict(ld, miou=miou, type_miou=type_miou).items():
                 stat[k] = stat.get(k, 0.0) + float(v)
+            if cfg.resultsSave:
+                self._save_xyz_dumps(batch, out, merged, miou, type_miou)
+            self._results_rows.append({
+                "ID": batch.get("index", ["?"])[0] if "index" in batch else cnt,
+                "miou": round(miou, 3), "type_miou": round(type_miou, 3),
+            })
             cnt += 1
         avg = {k: v / max(cnt, 1) for k, v in stat.items()}
+        self._write_results_csv(epoch, avg)
         self.test_viz.log_scalars(avg, epoch)
         self.logger.info("eval " + " ".join(f"{k}: {v:.4f}" for k, v in sorted(avg.items())))
         return avg.get("miou", 0.0), avg.get("type_miou", 0.0)
+
+    def _prune_checkpoints(self, epoch: int):
+        """Keep power-of-2-aligned epoch checkpoints plus the most recent few
+        (softgroup/util/utils.py:88-104 retention policy)."""
+        import re
+        import shutil
+
+        keep = {epoch, epoch - self.cfg.save_interval}
+        e = 1
+        while e <= epoch:
+            keep.add(e - 1)
+            e *= 2
+        if not os.path.isdir(self.ckpt_dir):
+            return
+        for name in os.listdir(self.ckpt_dir):
+            m = re.fullmatch(r"eval(\d+)", name)
+            if m and int(m.group(1)) not in keep:
+                shutil.rmtree(os.path.join(self.ckpt_dir, name),
+                              ignore_errors=True)
+
+    def _save_xyz_dumps(self, batch, out, merged, miou, type_miou):
+        """Per-object .xyz visualisation dumps (train_new.py:189-220)."""
+        d = os.path.join(self.cfg.log_dir, "results")
+        os.makedirs(d, exist_ok=True)
+        obj = batch.get("index", ["obj"])[0] if "index" in batch else "obj"
+        xyz = np.asarray(batch["gt_pc"][0] if hasattr(batch["gt_pc"], "shape")
+                         else batch["gt_pc"])
+        if xyz.ndim == 3:
+            xyz = xyz[0]
+        tp = np.asarray(out.type_per_point[0]).argmax(-1)
+        i_gt = np.asarray(batch["I_gt"])[0] if np.asarray(batch["I_gt"]).ndim == 2 \
+            else np.asarray(batch["I_gt"])
+        t_gt = np.asarray(batch["T_gt"])[0] if np.asarray(batch["T_gt"]).ndim == 2 \
+            else np.asarray(batch["T_gt"])
+        def dump(name, labels):
+            np.savetxt(os.path.join(d, f"{obj}_{name}.xyz"),
+                       np.column_stack([xyz, labels]), fmt="%.8f")
+        dump(f"miou_{miou:.3f}_inc", merged)
+        dump(f"typemiou_{type_miou:.3f}_seg", tp)
+        dump("inc_gt", i_gt)
+        dump("seg_gt", t_gt)
+
+    def _write_results_csv(self, epoch: int, avg: Dict[str, float]):
+        """CSV analogue of the reference's pandas .to_excel dumps
+        (trainer_new.py:364-377, 447-455)."""
+        import csv
+
+        path = os.path.join(self.cfg.log_dir, "output_results.csv")
+        rows = self._results_rows + [dict({"ID": f"Epoch{epoch}"},
+                                          **{k: round(v, 4) for k, v in avg.items()})]
+        keys = sorted({k for r in rows for k in r})
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(rows)
 
     def train(self):
         cfg = self.cfg
@@ -224,6 +289,7 @@ class Trainer:
             self.train_one_epoch(epoch)
             if epoch % cfg.save_interval == cfg.save_interval - 1:
                 self.save_checkpoint(epoch + 1, tag=f"eval{epoch}")
+                self._prune_checkpoints(epoch)
             if epoch % cfg.eval_interval == cfg.eval_interval - 1:
                 miou, type_miou = self.test_one_epoch(epoch)
                 self.save_checkpoint(epoch + 1, tag="latest",
