@@ -29,7 +29,7 @@ A100_REFERENCE_CLOUDS_PER_SEC = 5.0  # documented estimate, see BASELINE.md
 
 def main():
     enable_compilation_cache()
-    cfg = Config(num_points=8192, batch_size=4, max_instances=48, precision="bf16")
+    cfg = Config(num_points=8192, batch_size=4, max_instances=48)
     model = PrimitiveNet(cfg)
     tx = step_lib.make_optimizer(cfg)
     state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))

@@ -87,3 +87,36 @@ def standardize_points(points, weights=None):
     scales = jnp.max(jnp.abs(aligned), axis=1) + 1e-12
     aligned = aligned / scales[:, None, :]
     return aligned, scales, means[:, 0], rot
+
+
+def refit_control_points(points, uv, nu, nv, reg: float = 1e-4):
+    """Least-squares B-spline surface refit (the working core of the
+    reference's ``optimize_open_spline_kronecker`` / ``optimize_close_spline_
+    kronecker``, spec_utils.py:236-330, whose upstream module is missing from
+    the snapshot).
+
+    points [M, 3] targets; uv [M, 2] footpoint parameters in [0, 1]^2
+    (e.g. nearest sampled-surface parameter); returns control points
+    [nu_ctrl * nv_ctrl, 3] minimising ||B(u,v) CP - P||^2 + reg ||CP||^2.
+    The design matrix rows are Kronecker products of the 1-D bases.
+    """
+    nu = jnp.asarray(nu)
+    nv = jnp.asarray(nv)
+    grid = nu.shape[0]
+    ui = jnp.clip((uv[:, 0] * (grid - 1)).astype(jnp.int32), 0, grid - 1)
+    vi = jnp.clip((uv[:, 1] * (grid - 1)).astype(jnp.int32), 0, grid - 1)
+    bu = nu[ui]                                    # [M, nu_ctrl]
+    bv = nv[vi]                                    # [M, nv_ctrl]
+    design = (bu[:, :, None] * bv[:, None, :]).reshape(points.shape[0], -1)
+    ata = design.T @ design + reg * jnp.eye(design.shape[1])
+    return jnp.linalg.solve(ata, design.T @ points)
+
+
+def footpoint_uv(points, surface_samples, grid: int):
+    """Nearest-sample footpoint parameters: surface_samples [grid*grid, 3]
+    sampled on the regular (u, v) lattice."""
+    d2 = jnp.sum((points[:, None, :] - surface_samples[None, :, :]) ** 2, -1)
+    idx = jnp.argmin(d2, axis=1)
+    u = (idx // grid).astype(jnp.float32) / (grid - 1)
+    v = (idx % grid).astype(jnp.float32) / (grid - 1)
+    return jnp.stack([u, v], axis=1)

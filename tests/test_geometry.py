@@ -139,3 +139,22 @@ def test_entropy_finite():
     feat = np.random.RandomState(8).randn(1, 128, 16).astype(np.float32)
     e = float(aff.compute_entropy(jnp.asarray(feat)))
     assert np.isfinite(e) and e > 0
+
+
+def test_spline_refit_recovers_surface():
+    import jax.numpy as jnp
+    rng = np.random.RandomState(9)
+    nu, nv = spline.uniform_knot_bspline(10, 10, 3, 3, 30)
+    u, v = np.meshgrid(np.linspace(0, 1, 10), np.linspace(0, 1, 10), indexing="ij")
+    cp_true = np.stack([u, v, 0.3 * np.sin(3 * u) * np.cos(2 * v)], -1)
+    cp_true = cp_true.reshape(1, 100, 3).astype(np.float32)
+    surface = np.asarray(spline.sample_points_from_control_points(nu, nv,
+                                                                  jnp.asarray(cp_true)))[0]
+    # fit from noisy surface samples
+    pts = surface + 0.001 * rng.randn(*surface.shape).astype(np.float32)
+    uv = spline.footpoint_uv(jnp.asarray(pts), jnp.asarray(surface), 30)
+    cp_fit = spline.refit_control_points(jnp.asarray(pts), uv, nu, nv)
+    resampled = np.asarray(spline.sample_points_from_control_points(
+        nu, nv, jnp.asarray(cp_fit)[None]))[0]
+    err = np.abs(resampled - surface).mean()
+    assert err < 0.01
