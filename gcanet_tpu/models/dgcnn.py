@@ -46,18 +46,19 @@ class DGCNNEncoderGn(fnn.Module):
     knn_impl: str = "xla"
 
     @fnn.compact
-    def __call__(self, x, idx1: Optional[jnp.ndarray] = None):
+    def __call__(self, x, idx1: Optional[jnp.ndarray] = None,
+                 nbr1: Optional[jnp.ndarray] = None):
         b, n, _ = x.shape
         k = self.nn_nb
 
-        if self.mode == 5:
-            if idx1 is None:
+        if idx1 is None:
+            if self.mode == 5:
                 idx1 = knn_ops.knn_points_normals_indices(x, k, self.knn_impl)
-            ef = knn_ops.edge_feature(x, idx1)               # [B, N, K, 12]
-        else:
-            if idx1 is None:
+            else:
                 idx1 = knn_ops.knn_indices(x, k, self.knn_impl)
-            ef = knn_ops.edge_feature(x, idx1)
+        if nbr1 is None:
+            nbr1 = knn_ops.gather_neighbors(x, idx1)
+        ef = knn_ops.edge_feature_from_gathered(x, nbr1)
         ef = ConvGNAct(64, 2)(ef)
         x1 = jnp.max(ef, axis=2)
 

@@ -68,8 +68,10 @@ class OffsetPredModule(fnn.Module):
             return jnp.take_along_axis(src[:, None, :, :],
                                        topk_idx[..., None], axis=2)
 
-        topk_key_points = take(key_points)                    # [B, N, K, 3]
-        topk_feature = take(feature_sampling)                 # [B, N, K, 128]
+        # single gather for positions ++ features (row-count-bound on TPU)
+        both = take(jnp.concatenate([key_points, feature_sampling], axis=-1))
+        topk_key_points = both[..., :3]                       # [B, N, K, 3]
+        topk_feature = both[..., 3:]                          # [B, N, K, 128]
 
         direction = topk_key_points - points[:, :, None, :]   # [B, N, K, 3]
         feat_dir = jnp.concatenate([topk_feature, direction], axis=-1)  # [B,N,K,131]

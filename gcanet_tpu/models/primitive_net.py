@@ -75,8 +75,9 @@ class PrimitiveNet(fnn.Module):
         else:
             idx1 = knn_ops.knn_indices(points, cfg.nn_nb, cfg.knn_impl)
 
+        nbr1 = knn_ops.gather_neighbors(points, idx1)   # shared: layer 1 + normals_g
         feats = DGCNNEncoderGn(mode=mode, nn_nb=cfg.nn_nb,
-                               knn_impl=cfg.knn_impl)(points, idx1)  # [B, N, 1280]
+                               knn_impl=cfg.knn_impl)(points, idx1, nbr1)  # [B, N, 1280]
 
         # trunk (dgcnn-4.py:644-645): conv1 1280->512 GN8, conv2 512->256 GN4
         x = fnn.relu(DenseGN(512, 8)(feats))
@@ -107,8 +108,12 @@ class PrimitiveNet(fnn.Module):
             points6 = points
             idx_emb = idx1                               # same metric, same input
 
-        # embedding head (dgcnn-4.py:690-699)
-        nf = knn_ops.edge_feature_normals_g(points6, idx_emb)    # [B, N, K, 7]
+        # embedding head (dgcnn-4.py:690-699); reuse the shared gather when the
+        # source/metric coincide (mode 5: points6 == points, idx_emb == idx1)
+        if mode == 3:
+            nf = knn_ops.edge_feature_normals_g(points6, idx_emb)
+        else:
+            nf = knn_ops.edge_feature_normals_g_from_gathered(points6, nbr1)
         nf = ConvGNAct(64, 2)(nf)
         normal_feature = jnp.max(nf, axis=2)                      # [B, N, 64]
         emb_in = jnp.concatenate([x_all, x_type, x_para, normal_feature], axis=-1)  # 832

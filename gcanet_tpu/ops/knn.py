@@ -92,6 +92,22 @@ def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(x[:, :, None, :], idx[..., None], axis=1)
 
 
+def edge_feature_from_gathered(x: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
+    """Edge feature when the neighbour rows are already gathered (lets callers
+    share one gather between consumers of the same index set)."""
+    ctr = jnp.broadcast_to(x[:, :, None, :], nbr.shape)
+    return jnp.concatenate([nbr - ctr, ctr], axis=-1)
+
+
+def edge_feature_normals_g_from_gathered(x: jnp.ndarray, nbr6: jnp.ndarray) -> jnp.ndarray:
+    """Normal-angle edge feature from pre-gathered 6-d neighbours."""
+    n = x[..., 3:6]
+    n_nbr = nbr6[..., 3:6]
+    n_ctr = jnp.broadcast_to(n[:, :, None, :], n_nbr.shape)
+    angle = jnp.clip(jnp.sum(n_ctr * n_nbr, axis=-1, keepdims=True), -0.99, 0.99)
+    return jnp.concatenate([angle, n_nbr - n_ctr, n_ctr], axis=-1)
+
+
 def edge_feature(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """DGCNN edge feature (dgcnn-4.py:93-124): ``[x_j - x_i ; x_i]``.
 
