@@ -50,6 +50,11 @@ class ScalarLogger:
 class Trainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        if cfg.debug:
+            # the TPU analogue of the reference's always-on
+            # torch.autograd.set_detect_anomaly(True) (trainer_new.py:212):
+            # fail fast with a traceback on the op producing a NaN.
+            jax.config.update("jax_debug_nans", True)
         self.build_workspace()
         self.build_model_optimizer()
         self.train_viz = ScalarLogger(cfg.log_dir, "train")
@@ -189,8 +194,14 @@ class Trainer:
         self._results_rows = []
         for batch in self._test_batches():
             arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
-            out, total, ld = self.eval_step(self.state.params,
-                                            self.state.batch_stats, arrays)
+            try:
+                out, total, ld = self.eval_step(self.state.params,
+                                                self.state.batch_stats, arrays)
+            except Exception as e:                 # noqa: BLE001
+                # log the failing object and continue (trainer_new.py:333-335)
+                obj = batch.get("index", ["?"])[0]
+                self.logger.error(f"error: {obj}: {e}")
+                continue
             # host-side instance extraction + metrics (train_new.py:157-165)
             pid = np.asarray(out.proposals.point_pid)
             sem = np.asarray(out.semantic_scores)
