@@ -13,6 +13,7 @@ documented proxy is an estimated 5 clouds/s for the PyTorch reference
 """
 
 import json
+import os
 import time
 
 import jax
@@ -29,7 +30,8 @@ A100_REFERENCE_CLOUDS_PER_SEC = 5.0  # documented estimate, see BASELINE.md
 
 def main():
     enable_compilation_cache()
-    cfg = Config(num_points=8192, batch_size=4, max_instances=48)
+    batch = int(os.environ.get("GCA_BENCH_BATCH", "4"))
+    cfg = Config(num_points=8192, batch_size=batch, max_instances=48)
     model = PrimitiveNet(cfg)
     tx = step_lib.make_optimizer(cfg)
     state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))

@@ -1,0 +1,64 @@
+"""End-to-end trainer smoke: one tiny epoch on synthetic data, checkpoint
+save/restore round-trip, eval path, serving predictor."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from gcanet_tpu.config import Config, GroupingConfig, InstanceHeadConfig
+
+
+def tiny_cfg(tmp, **kw):
+    base = dict(
+        num_points=160, batch_size=2, nn_nb=10, offset_knn=6, offset_keypoints=20,
+        max_instances=16, log_dir=os.path.join(tmp, "log"), max_epoch=1,
+        eval_interval=1, save_interval=1,
+        grouping=GroupingConfig(radius=0.1, min_npoint=5, cc_max_iters=16),
+        instance_head=InstanceHeadConfig(grid_size=8, max_proposals=16))
+    base.update(kw)
+    return Config(**base)
+
+
+def test_trainer_one_epoch_and_resume(tmp_path):
+    from gcanet_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg(str(tmp_path))
+    tr = Trainer(cfg)
+    tr.build_dataloaders()
+    # shorten the synthetic epoch
+    tr._train_batches = lambda epoch: iter(
+        [next(iter_) for iter_ in [__import__("itertools").islice(
+            _synth_iter(cfg), 3)]][0]) if False else _synth_iter(cfg, 3)
+    tr.train_one_epoch(0)
+    miou, type_miou = tr.test_one_epoch(0)
+    assert 0.0 <= miou <= 1.0
+    tr.save_checkpoint(1, tag="latest", metrics={"miou": miou})
+
+    # results CSV written
+    assert os.path.exists(os.path.join(cfg.log_dir, "output_results.csv"))
+
+    # resume picks up the epoch
+    tr2 = Trainer(cfg)
+    assert tr2.start_epoch == 1
+
+
+def _synth_iter(cfg, n=3):
+    from gcanet_tpu.data.synthetic import synth_batch
+
+    for i in range(n):
+        yield synth_batch(cfg, cfg.batch_size, seed=i)
+
+
+def test_predictor(tmp_path):
+    from gcanet_tpu.data.synthetic import synth_object
+    from gcanet_tpu.serve import Predictor
+
+    cfg = tiny_cfg(str(tmp_path), batch_size=1)
+    pred = Predictor(cfg)
+    obj = synth_object(cfg, np.random.RandomState(0))
+    out = pred.predict(obj["gt_pc"], obj["gt_normal"])
+    assert out["type_per_point"].shape == (cfg.num_points, cfg.num_primitives)
+    assert out["instance_labels"].shape == (cfg.num_points,)
+    assert np.isfinite(out["param_per_point"]).all()
