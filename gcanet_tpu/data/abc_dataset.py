@@ -62,11 +62,17 @@ def process_object(raw: Dict[str, np.ndarray], cfg: Config, training: bool,
     # native C++ fast path (csrc/gcadata.cpp) with numpy fallback
     label, clean_prim = native.relabel(labels, primitives, min_points=100,
                                        fold7=(cfg.num_primitives == 7))
+    # I_gt_clean: background instances re-appended after the kept ones
+    # (ABCDataset_new.py:106-110)
+    n_keep = int(label.max()) + 1 if (label >= 0).any() else 0
+    i_gt_clean = np.where(label >= 0, label.astype(np.int64),
+                          labels + n_keep).astype(np.int32)
 
     n = cfg.num_points
     subidx = rng.choice(points.shape[0], n, replace=False)
     points, normals = points[subidx], normals[subidx]
     clean_prim, t_param, label = clean_prim[subidx], t_param[subidx], label[subidx]
+    i_gt_clean = i_gt_clean[subidx]
 
     # per-instance info (ABCDataset_new.py:157-178)
     inst_num, pointnum, inst_cls, pt_offset_label = native.instance_info(
@@ -78,6 +84,7 @@ def process_object(raw: Dict[str, np.ndarray], cfg: Config, training: bool,
         "T_gt": clean_prim.astype(np.int32),
         "T_param": t_param,
         "I_gt": label.astype(np.int32),
+        "I_gt_clean": i_gt_clean,
         "inst_num": inst_num,
         "inst_pointnum": pointnum,
         "inst_cls": inst_cls,

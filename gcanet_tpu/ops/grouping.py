@@ -314,3 +314,35 @@ def bfs_clusters_numpy(nbr, cls, mean_tbl, low_frac=0.05, high_frac=0.3):
         else:
             primary.append(i)
     return labels, kept, primary
+
+
+def radius_neighbor_mask(coords: jnp.ndarray, radius: float,
+                         batch_ids: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Plain radius graph — the reference's ungated ball-query variants
+    ``ballquery_batch_p_easy`` / ``_org`` (softgroup/ops/src/bfs_cluster_easy,
+    bfs_cluster_org; exported at softgroup_api.cpp:21).  coords [N, 3]."""
+    d2 = knn_ops.pairwise_sqdist(coords)
+    nbr = (d2 < radius * radius) & ~jnp.eye(coords.shape[0], dtype=bool)
+    if batch_ids is not None:
+        nbr &= batch_ids[:, None] == batch_ids[None, :]
+    return nbr
+
+
+def simple_clusters(coords: jnp.ndarray, semantic: jnp.ndarray,
+                    radius: float, npoint_thr: float,
+                    class_numpoint_mean, max_iters: int = 64):
+    """The ``bfs_cluster`` op (softgroup/ops/src/bfs_cluster/bfs_cluster.cpp:
+    48-143): radius-graph connected components keeping clusters with
+    >= npoint_thr * class_numpoint_mean[class] points.  Returns (labels [N]
+    with -1 for dropped clusters, keep mask [N]).  This is the alternative
+    grouping the reference keeps commented out at dgcnn-4.py:1240."""
+    same = semantic[:, None] == semantic[None, :]
+    nbr = radius_neighbor_mask(coords, radius) & same
+    labels = connected_components(nbr, max_iters)
+    n = labels.shape[0]
+    size = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), labels,
+                               num_segments=n)[labels]
+    mean_tbl = jnp.asarray(class_numpoint_mean, jnp.float32)
+    thr = npoint_thr * mean_tbl[jnp.clip(semantic, 0, mean_tbl.shape[0] - 1)]
+    keep = size.astype(jnp.float32) >= thr
+    return jnp.where(keep, labels, -1), keep

@@ -140,3 +140,17 @@ def test_set_aggregation_absorbs_nearby_fragment():
     assert (pid[1, 80:85] == 0).all()
     assert (pid[1, 85:] == -1).all()
     assert (pid[0, 80:] == -1).all()
+
+
+def test_simple_clusters_and_radius_graph():
+    rng = np.random.RandomState(5)
+    a = 0.01 * rng.randn(60, 3)
+    b = 0.01 * rng.randn(10, 3) + [5, 5, 5]
+    coords = jnp.asarray(np.concatenate([a, b]).astype(np.float32))
+    sem = jnp.asarray(np.zeros(70, np.int32))
+    labels, keep = G.simple_clusters(coords, sem, radius=0.2, npoint_thr=0.15,
+                                     class_numpoint_mean=(200.0,))
+    labels = np.asarray(labels)
+    # big cluster kept (60 >= 0.15*200=30), small dropped (10 < 30)
+    assert (labels[:60] == 0).all()
+    assert (labels[60:] == -1).all()
