@@ -62,8 +62,12 @@ class DGCNNEncoderGn(fnn.Module):
         ef = ConvGNAct(64, 2)(ef)
         x1 = jnp.max(ef, axis=2)
 
-        x2 = EdgeConv(64, 2, k, self.knn_impl)(x1)
-        x3 = EdgeConv(128, 2, k, self.knn_impl)(x2)
+        # remat: the [B, N, K, C] edge tensors are recomputed in the backward
+        # pass instead of stored — one extra gather per layer buys gigabytes
+        # of activation memory (enables batch 16 at N=8192 on one v5e chip)
+        EdgeConvR = fnn.remat(EdgeConv, static_argnums=())
+        x2 = EdgeConvR(64, 2, k, self.knn_impl)(x1)
+        x3 = EdgeConvR(128, 2, k, self.knn_impl)(x2)
 
         x_features = jnp.concatenate([x1, x2, x3], axis=-1)  # [B, N, 256]
         x4 = fnn.relu(DenseGN(1024, 8)(x_features))          # mlp1 + bnmlp1 (dgcnn-4.py:508)

@@ -114,7 +114,8 @@ class PrimitiveNet(fnn.Module):
             nf = knn_ops.edge_feature_normals_g(points6, idx_emb)
         else:
             nf = knn_ops.edge_feature_normals_g_from_gathered(points6, nbr1)
-        nf = ConvGNAct(64, 2)(nf)
+        # remat the conv: its [B, N, K, 64] intermediate is recomputed in bwd
+        nf = fnn.remat(ConvGNAct)(64, 2)(nf)
         normal_feature = jnp.max(nf, axis=2)                      # [B, N, 64]
         emb_in = jnp.concatenate([x_all, x_type, x_para, normal_feature], axis=-1)  # 832
         h = fnn.relu(DenseGN(256, 4)(emb_in))
