@@ -59,7 +59,7 @@ class DGCNNEncoderGn(fnn.Module):
         if nbr1 is None:
             nbr1 = knn_ops.gather_neighbors(x, idx1)
         ef = knn_ops.edge_feature_from_gathered(x, nbr1)
-        ef = ConvGNAct(64, 2)(ef)
+        ef = fnn.remat(ConvGNAct)(64, 2)(ef)     # [B,N,K,64] recomputed in bwd
         x1 = jnp.max(ef, axis=2)
 
         # remat: the [B, N, K, C] edge tensors are recomputed in the backward

@@ -133,7 +133,8 @@ class PrimitiveNet(fnn.Module):
                 pt_offsets = OffsetPredModuleDual(60, cfg.offset_keypoints)(
                     xyz, opc, type_logits, embedding)
             else:
-                pt_offsets = OffsetPredModule(cfg.offset_knn, cfg.offset_keypoints)(
+                pt_offsets = fnn.remat(OffsetPredModule)(
+                    cfg.offset_knn, cfg.offset_keypoints)(
                     xyz, opc, embedding)                          # [B, N, 3]
         else:
             pt_offsets = MLP(3, hidden_features=128)(opc)         # offset_linear

@@ -69,6 +69,21 @@ def _topk_neighbors(neg_dist: jnp.ndarray, k: int, impl: str) -> jnp.ndarray:
     return idx
 
 
+# Above this batch size the N x N distance matrices are computed in chunks
+# (sequential lax.map) to bound peak memory: at B=16, N=8192 a single fused
+# batch would transiently hold 4.3 GB of fp32 distances.
+_KNN_CHUNK = 4
+
+
+def _chunked(metric_fn, x, k, impl):
+    b = x.shape[0]
+    if b <= _KNN_CHUNK or b % _KNN_CHUNK:
+        return _topk_neighbors(-metric_fn(x), k, impl)
+    xs = x.reshape(b // _KNN_CHUNK, _KNN_CHUNK, *x.shape[1:])
+    out = jax.lax.map(lambda xc: _topk_neighbors(-metric_fn(xc), k, impl), xs)
+    return out.reshape(b, x.shape[1], k)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "impl"))
 def knn_indices(x: jnp.ndarray, k: int, impl: str = "xla") -> jnp.ndarray:
     """Plain euclidean kNN of dgcnn-4.py:30-47. ``x [B, N, C]`` -> ``[B, N, k]``.
@@ -76,15 +91,13 @@ def knn_indices(x: jnp.ndarray, k: int, impl: str = "xla") -> jnp.ndarray:
     The reference's (k1, k2) dilation machinery reduces to top-k because the
     default model always calls it with k1 == k2 (dgcnn-4.py:493-503).
     """
-    d = pairwise_sqdist(jax.lax.stop_gradient(x))
-    return _topk_neighbors(-d, k, impl)
+    return _chunked(pairwise_sqdist, jax.lax.stop_gradient(x), k, impl)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "impl"))
 def knn_points_normals_indices(x: jnp.ndarray, k: int, impl: str = "xla") -> jnp.ndarray:
     """kNN under the position-normal metric (dgcnn-4.py:50-90). ``x [B, N, 6]``."""
-    d = pairwise_dist_points_normals(jax.lax.stop_gradient(x))
-    return _topk_neighbors(-d, k, impl)
+    return _chunked(pairwise_dist_points_normals, jax.lax.stop_gradient(x), k, impl)
 
 
 def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
