@@ -100,3 +100,34 @@ def test_metrics_perfect_prediction():
     assert M.compute_miou(pred, i_gt) > 0.7  # 3 instances perfectly matched
     t = np.array([1, 1, 4, 4, 5, 5, 0, 0])
     assert M.compute_type_miou_abc(t, t, pred, i_gt) == 1.0
+
+
+def test_eval_with_set_aggregation():
+    cfg = tiny_config(batch_size=1).replace(using_set_aggr=True)
+    model = PrimitiveNet(cfg)
+    tx = step_lib.make_optimizer(cfg)
+    state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
+    eval_step = step_lib.make_eval_step(cfg, model)
+    batch = _arrays(synth_batch(cfg, 1, seed=3))
+    out, total, ld = eval_step(state.params, state.batch_stats, batch)
+    assert np.isfinite(float(total))
+    # channel 1 (absorptions) may be active at eval with set aggr; it must
+    # only reference valid proposals
+    pid = np.asarray(out.proposals.point_pid)
+    valid = np.asarray(out.proposals.valid)
+    absorbed = pid[1][pid[1] >= 0]
+    if absorbed.size:
+        assert valid[absorbed].all()
+
+
+def test_train_metrics_keys():
+    cfg = tiny_config()
+    model = PrimitiveNet(cfg)
+    tx = step_lib.make_optimizer(cfg)
+    state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
+    train_step = step_lib.make_train_step(cfg, model, tx)
+    batch = _arrays(synth_batch(cfg, cfg.batch_size, seed=4))
+    _, metrics = train_step(state, batch, jax.random.PRNGKey(1))
+    for key in ("feat_loss", "nnl_loss", "param_loss", "offset_loss",
+                "inst_loss", "total_loss"):
+        assert key in metrics and np.isfinite(float(metrics[key]))
