@@ -30,7 +30,7 @@ A100_REFERENCE_CLOUDS_PER_SEC = 5.0  # documented estimate, see BASELINE.md
 
 def main():
     enable_compilation_cache()
-    batch = int(os.environ.get("GCA_BENCH_BATCH", "4"))
+    batch = int(os.environ.get("GCA_BENCH_BATCH", "8"))
     cfg = Config(num_points=8192, batch_size=batch, max_instances=48)
     model = PrimitiveNet(cfg)
     tx = step_lib.make_optimizer(cfg)

@@ -124,6 +124,10 @@ class Config:
     # behaviourally equivalent and ~6x faster than exact top_k at N=8192);
     # "xla" = exact lax.top_k (parity/testing).
     knn_impl: str = "approx"
+    # Rematerialise edge-conv/offset activations in backward.  Saves ~6 GB of
+    # activations at N=8192 (for batch > 8) at ~2x step-time cost — only worth
+    # it when memory-bound; measured faster OFF at batch <= 8.
+    remat: bool = False
     mesh_shape: str = "1"             # data-parallel devices, e.g. "8"
     seed: int = 0
 

@@ -44,6 +44,7 @@ class DGCNNEncoderGn(fnn.Module):
     mode: int = 5
     nn_nb: int = 80
     knn_impl: str = "xla"
+    remat: bool = False
 
     @fnn.compact
     def __call__(self, x, idx1: Optional[jnp.ndarray] = None,
@@ -59,15 +60,16 @@ class DGCNNEncoderGn(fnn.Module):
         if nbr1 is None:
             nbr1 = knn_ops.gather_neighbors(x, idx1)
         ef = knn_ops.edge_feature_from_gathered(x, nbr1)
-        ef = fnn.remat(ConvGNAct)(64, 2)(ef)     # [B,N,K,64] recomputed in bwd
+        Conv1 = fnn.remat(ConvGNAct) if self.remat else ConvGNAct
+        ef = Conv1(64, 2)(ef)
         x1 = jnp.max(ef, axis=2)
 
-        # remat: the [B, N, K, C] edge tensors are recomputed in the backward
-        # pass instead of stored — one extra gather per layer buys gigabytes
-        # of activation memory (enables batch 16 at N=8192 on one v5e chip)
-        EdgeConvR = fnn.remat(EdgeConv, static_argnums=())
-        x2 = EdgeConvR(64, 2, k, self.knn_impl)(x1)
-        x3 = EdgeConvR(128, 2, k, self.knn_impl)(x2)
+        # optional remat: [B, N, K, C] edge tensors recomputed in the backward
+        # pass instead of stored — gigabytes of activation memory for ~2x
+        # step time; see Config.remat
+        EC = fnn.remat(EdgeConv, static_argnums=()) if self.remat else EdgeConv
+        x2 = EC(64, 2, k, self.knn_impl)(x1)
+        x3 = EC(128, 2, k, self.knn_impl)(x2)
 
         x_features = jnp.concatenate([x1, x2, x3], axis=-1)  # [B, N, 256]
         x4 = fnn.relu(DenseGN(1024, 8)(x_features))          # mlp1 + bnmlp1 (dgcnn-4.py:508)

@@ -76,8 +76,8 @@ class PrimitiveNet(fnn.Module):
             idx1 = knn_ops.knn_indices(points, cfg.nn_nb, cfg.knn_impl)
 
         nbr1 = knn_ops.gather_neighbors(points, idx1)   # shared: layer 1 + normals_g
-        feats = DGCNNEncoderGn(mode=mode, nn_nb=cfg.nn_nb,
-                               knn_impl=cfg.knn_impl)(points, idx1, nbr1)  # [B, N, 1280]
+        feats = DGCNNEncoderGn(mode=mode, nn_nb=cfg.nn_nb, knn_impl=cfg.knn_impl,
+                               remat=cfg.remat)(points, idx1, nbr1)  # [B, N, 1280]
 
         # trunk (dgcnn-4.py:644-645): conv1 1280->512 GN8, conv2 512->256 GN4
         x = fnn.relu(DenseGN(512, 8)(feats))
@@ -114,8 +114,7 @@ class PrimitiveNet(fnn.Module):
             nf = knn_ops.edge_feature_normals_g(points6, idx_emb)
         else:
             nf = knn_ops.edge_feature_normals_g_from_gathered(points6, nbr1)
-        # remat the conv: its [B, N, K, 64] intermediate is recomputed in bwd
-        nf = fnn.remat(ConvGNAct)(64, 2)(nf)
+        nf = (fnn.remat(ConvGNAct) if cfg.remat else ConvGNAct)(64, 2)(nf)
         normal_feature = jnp.max(nf, axis=2)                      # [B, N, 64]
         emb_in = jnp.concatenate([x_all, x_type, x_para, normal_feature], axis=-1)  # 832
         h = fnn.relu(DenseGN(256, 4)(emb_in))
@@ -133,8 +132,8 @@ class PrimitiveNet(fnn.Module):
                 pt_offsets = OffsetPredModuleDual(60, cfg.offset_keypoints)(
                     xyz, opc, type_logits, embedding)
             else:
-                pt_offsets = fnn.remat(OffsetPredModule)(
-                    cfg.offset_knn, cfg.offset_keypoints)(
+                OPM = fnn.remat(OffsetPredModule) if cfg.remat else OffsetPredModule
+                pt_offsets = OPM(cfg.offset_knn, cfg.offset_keypoints)(
                     xyz, opc, embedding)                          # [B, N, 3]
         else:
             pt_offsets = MLP(3, hidden_features=128)(opc)         # offset_linear

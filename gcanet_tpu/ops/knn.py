@@ -71,13 +71,15 @@ def _topk_neighbors(neg_dist: jnp.ndarray, k: int, impl: str) -> jnp.ndarray:
 
 # Above this batch size the N x N distance matrices are computed in chunks
 # (sequential lax.map) to bound peak memory: at B=16, N=8192 a single fused
-# batch would transiently hold 4.3 GB of fp32 distances.
+# batch would transiently hold 4.3 GB of fp32 distances.  Measured: chunking
+# at B=8 costs ~2x step time (serialisation), so it only engages beyond that.
 _KNN_CHUNK = 4
+_KNN_CHUNK_MIN_BATCH = 9
 
 
 def _chunked(metric_fn, x, k, impl):
     b = x.shape[0]
-    if b <= _KNN_CHUNK or b % _KNN_CHUNK:
+    if b < _KNN_CHUNK_MIN_BATCH or b % _KNN_CHUNK:
         return _topk_neighbors(-metric_fn(x), k, impl)
     xs = x.reshape(b // _KNN_CHUNK, _KNN_CHUNK, *x.shape[1:])
     out = jax.lax.map(lambda xc: _topk_neighbors(-metric_fn(xc), k, impl), xs)
