@@ -22,7 +22,13 @@ from gcanet_tpu.train import step as step_lib
 
 
 class Predictor:
-    def __init__(self, cfg: Config, checkpoint_dir: Optional[str] = None):
+    """cluster_mode: 'grouping' (GCANet gated grouping + instance head) or
+    'meanshift' (the HPNet-heritage embedding mean-shift of abc_utils.py:16-31,
+    driven by cfg.bandwidth)."""
+
+    def __init__(self, cfg: Config, checkpoint_dir: Optional[str] = None,
+                 cluster_mode: str = "grouping"):
+        self.cluster_mode = cluster_mode
         self.cfg = cfg.replace(using_set_aggr=True) if cfg.using_set_aggr else cfg
         self.model = build_model(self.cfg)
         tx = step_lib.make_optimizer(self.cfg)
@@ -54,7 +60,12 @@ class Predictor:
             np.asarray(out.instance.mask_scores),
             np.asarray(out.proposals.valid), self.cfg.num_primitives)
         n = xyz.shape[0]
-        merged = inst_utils.merge_masks(preds) if preds else np.zeros(n, np.int32)
+        if self.cluster_mode == "meanshift":
+            from gcanet_tpu.geometry.affinity import mean_shift
+
+            merged = mean_shift(np.asarray(out.embedding), self.cfg.bandwidth)[0]
+        else:
+            merged = inst_utils.merge_masks(preds) if preds else np.zeros(n, np.int32)
         return {
             "type_per_point": np.asarray(out.type_per_point[0]),
             "param_per_point": np.asarray(out.param_per_point[0]),

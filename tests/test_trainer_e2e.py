@@ -62,3 +62,15 @@ def test_predictor(tmp_path):
     assert out["type_per_point"].shape == (cfg.num_points, cfg.num_primitives)
     assert out["instance_labels"].shape == (cfg.num_points,)
     assert np.isfinite(out["param_per_point"]).all()
+
+
+def test_predictor_meanshift_mode(tmp_path):
+    from gcanet_tpu.data.synthetic import synth_object
+    from gcanet_tpu.serve import Predictor
+
+    cfg = tiny_cfg(str(tmp_path), batch_size=1)
+    pred = Predictor(cfg, cluster_mode="meanshift")
+    obj = synth_object(cfg, np.random.RandomState(1))
+    out = pred.predict(obj["gt_pc"], obj["gt_normal"])
+    assert out["instance_labels"].shape == (cfg.num_points,)
+    assert out["instance_labels"].min() >= 0
