@@ -36,7 +36,15 @@ def _sppnet(cfg: Config):
     return PrimitiveNetSPP(cfg)
 
 
+def _softgroup_scene(cfg: Config):
+    from gcanet_tpu.models.softgroup_scene import SoftGroupNet
+
+    return SoftGroupNet(cfg)
+
+
 _REGISTRY: Dict[str, Callable] = {
+    "gcanet_tpu.models.softgroup_scene": _softgroup_scene,
+    "softgroup.model.softgroup": _softgroup_scene,
     "gcanet_tpu.models.primitive_net": _flagship,
     "models.dgcnn-hais-concat-direct-4": _flagship,
     "gcanet_tpu.models.primitive_net_dual": _variant2,
