@@ -133,24 +133,18 @@ def connected_components(nbr: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:
 
     Returns per-point root label = min point index in the component.
     Replaces the host BFS at hierarchical_aggregation.cpp:11-42.
-    ``nbr`` may be [N, N] or batched [B, N, N] — the batched form runs all
-    items' propagation sweeps as one fused op per iteration (the while loop
-    runs until every item converges).
     """
-    batched = nbr.ndim == 3
-    if not batched:
-        nbr = nbr[None]
-    b, n, _ = nbr.shape
-    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
+    n = nbr.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
 
     def body(state):
         labels, _, it = state
         # full sweep: min over neighbours' labels
-        nbr_min = jnp.min(jnp.where(nbr, labels[:, None, :], _BIG_I), axis=2)
+        nbr_min = jnp.min(jnp.where(nbr, labels[None, :], _BIG_I), axis=1)
         new = jnp.minimum(labels, nbr_min.astype(jnp.int32))
         # pointer jumping (path compression), a few cheap gathers
-        new = jnp.minimum(new, jnp.take_along_axis(new, new, axis=1))
-        new = jnp.minimum(new, jnp.take_along_axis(new, new, axis=1))
+        new = jnp.minimum(new, new[new])
+        new = jnp.minimum(new, new[new])
         changed = jnp.any(new != labels)
         return new, changed, it + 1
 
@@ -159,7 +153,7 @@ def connected_components(nbr: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:
         return changed & (it < max_iters)
 
     labels, _, _ = jax.lax.while_loop(cond, body, (idx, jnp.bool_(True), 0))
-    return labels if batched else labels[0]
+    return labels
 
 
 def _cc_stats(labels: jnp.ndarray, shifted: jnp.ndarray):
@@ -195,18 +189,17 @@ def build_proposals(
         if num_classes <= len(cfg.class_numpoint_mean) else \
         jnp.full((num_classes,), -1.0, jnp.float32)
 
-    def per_item_mask(args):
+    def per_item(args):
         shifted_i, cls_i, emb_i, param_i = args
-        return gated_neighbor_mask(shifted_i, cls_i, emb_i, param_i,
-                                   num_classes, cfg)
+        nbr, class_valid = gated_neighbor_mask(
+            shifted_i, cls_i, emb_i, param_i, num_classes, cfg)
+        labels = connected_components(nbr, cfg.cc_max_iters)
+        csize, size_at_root, center_at_root = _cc_stats(labels, shifted_i)
+        return labels, csize, size_at_root, center_at_root, class_valid
 
-    # Mask construction maps sequentially over items (bounds the transient
-    # N x N fp32 distance matrices to one item's worth); the label-propagation
-    # sweeps then run batched — one fused masked-min per iteration for the
-    # whole batch instead of B sequential while loops.
-    nbr_all, class_valid = jax.lax.map(per_item_mask, (shifted, cls, emb, param))
-    labels = connected_components(nbr_all, cfg.cc_max_iters)
-    csize, size_at_root, center_at_root = jax.vmap(_cc_stats)(labels, shifted)
+    # Sequential map over batch items bounds peak memory at one N x N working set.
+    labels, csize, size_at_root, center_at_root, class_valid = jax.lax.map(
+        per_item, (shifted, cls, emb, param))
 
     flat_cls = jnp.clip(cls, 0, num_classes - 1)                  # [B, N]
     cmean = mean_tbl[flat_cls]                                    # [B, N]
