@@ -97,3 +97,32 @@ def test_canonicalize_params_unit_norms():
         nrm = np.linalg.norm(out[..., sl[0]:sl[1]], axis=-1)
         np.testing.assert_allclose(nrm, 1.0, atol=1e-4)
     np.testing.assert_allclose(out[..., 0:4], np.asarray(raw)[..., 0:4])
+
+
+def test_masked_downconv_upconv_sparse_equivalence():
+    """Stride-2 down conv + transpose up conv with occupancy masking must
+    equal the sparse computation: down-level site active iff any input in its
+    2^3 window is active; up conv only writes level-0 active sites."""
+    import jax.numpy as jnp
+    from gcanet_tpu.models.instance_head import TinyUNet
+
+    rng = np.random.RandomState(4)
+    g, c = 8, 4
+    active = rng.rand(1, g, g, g) < 0.25
+    x = (rng.randn(1, g, g, g, c).astype(np.float32)) * active[..., None]
+    net = TinyUNet(channels=c)
+    vars_ = net.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(active),
+                     True)
+    out, _ = net.apply(vars_, jnp.asarray(x), jnp.asarray(active), True,
+                       mutable=["batch_stats"])
+    out = np.asarray(out)
+    # outputs only at active sites
+    assert (out[~active] == 0).all()
+    assert np.isfinite(out).all()
+    # inactive inputs cannot influence anything: perturb an inactive voxel
+    x2 = x.copy()
+    ix = np.argwhere(~active[0])[0]
+    x2[0, ix[0], ix[1], ix[2]] += 100.0
+    out2, _ = net.apply(vars_, jnp.asarray(x2), jnp.asarray(active), True,
+                        mutable=["batch_stats"])
+    np.testing.assert_allclose(out, np.asarray(out2), atol=1e-5)
