@@ -18,7 +18,13 @@ from gcanet_tpu.ops import knn as knn_ops
 
 
 class EdgeConv(fnn.Module):
-    """One DGCNN edge conv: edge features -> 1x1 conv -> GN -> LeakyReLU -> max_k."""
+    """One DGCNN edge conv: edge features -> 1x1 conv -> GN -> LeakyReLU -> max_k.
+
+    The conv over ``[x_j - x_i ; x_i]`` is computed in decomposed form
+    ``gather(x @ W1) + x @ (W2 - W1)`` — numerically identical (same [2C, Co]
+    kernel, split) but the [B, N, K, 2C] edge tensor is never materialised:
+    the per-neighbour matmul happens on [B, N, C] before the gather.
+    """
 
     features: int
     groups: int
@@ -29,9 +35,16 @@ class EdgeConv(fnn.Module):
     def __call__(self, x, idx: Optional[jnp.ndarray] = None):
         if idx is None:
             idx = knn_ops.knn_indices(x, self.k, self.knn_impl)
-        ef = knn_ops.edge_feature(x, idx)                    # [B, N, K, 2C]
-        ef = ConvGNAct(self.features, self.groups)(ef)
-        return jnp.max(ef, axis=2)                           # [B, N, C']
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", fnn.initializers.lecun_normal(),
+                            (2 * c_in, self.features))
+        w1, w2 = kernel[:c_in], kernel[c_in:]
+        a = jnp.einsum("bni,io->bno", x, w1)
+        c = jnp.einsum("bni,io->bno", x, w2 - w1)
+        h = knn_ops.gather_neighbors(a, idx) + c[:, :, None, :]
+        h = fnn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(h)
+        h = fnn.leaky_relu(h, negative_slope=0.2)
+        return jnp.max(h, axis=2)                            # [B, N, C']
 
 
 class DGCNNEncoderGn(fnn.Module):
