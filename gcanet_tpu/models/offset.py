@@ -26,28 +26,19 @@ def keypoint_permutation(num_points: int, sampling_ratio: int) -> np.ndarray:
     return l[:sampling_ratio]
 
 
-class KPAMWeights(fnn.Module):
-    """Channel-softmax attention weights over the k sorted similarities
-    (dgcnn-4.py:351-373) — returns the [B, N, K] weights."""
-
-    k: int
-
-    @fnn.compact
-    def __call__(self, attention_feature):
-        a = fnn.Dense(self.k, use_bias=False)(attention_feature)
-        a = fnn.relu(a)
-        a = fnn.Dense(self.k, use_bias=False)(a)
-        return fnn.softmax(a, axis=-1)                      # softmax over K
-
-
 class KPAM(fnn.Module):
-    """KPAM applied to features: x * KPAMWeights (kept for the dual variant)."""
+    """Channel-softmax attention over the k sorted similarities (dgcnn-4.py:351-373)."""
 
     k: int
 
     @fnn.compact
     def __call__(self, x, attention_feature):
-        return x * KPAMWeights(self.k)(attention_feature)[..., None]
+        # x: [B, N, K, C]; attention_feature: [B, N, K] (sorted top-k cos sims)
+        a = fnn.Dense(self.k, use_bias=False)(attention_feature)
+        a = fnn.relu(a)
+        a = fnn.Dense(self.k, use_bias=False)(a)
+        a = fnn.softmax(a, axis=-1)                         # softmax over K
+        return x * a[..., None]
 
 
 class OffsetPredModule(fnn.Module):
@@ -77,22 +68,16 @@ class OffsetPredModule(fnn.Module):
             return jnp.take_along_axis(src[:, None, :, :],
                                        topk_idx[..., None], axis=2)
 
-        # conv1 (dgcnn-4.py:390-392) decomposed: the 131->128 conv is linear
-        # and the KPAM attention is a scalar per (n, k), so
-        #   conv(a * [feat_j ; kp_j - p_n]) = a * (gather(proj_kp)_j - proj_p_n)
-        # with proj_kp computed on the 120 keypoints and proj_p on the points —
-        # the [B, N, K, 131] tensor and its 1 GB matmul never materialise.
-        c_out = 128
-        kernel = self.param("conv1_kernel", fnn.initializers.lecun_normal(),
-                            (feature.shape[-1] + 3, c_out))
-        w_feat, w_dir = kernel[:feature.shape[-1]], kernel[feature.shape[-1]:]
-        proj_kp = feature_sampling @ w_feat + key_points @ w_dir   # [B, S, 128]
-        proj_p = points @ w_dir                                    # [B, N, 128]
-        h = take(proj_kp) - proj_p[:, :, None, :]                  # [B, N, K, 128]
-        a = KPAMWeights(self.nn_nb)(topk_dist)                     # [B, N, K]
-        h = h * a[..., None]
-        h = fnn.GroupNorm(num_groups=2, epsilon=1e-5)(h)
-        h = fnn.leaky_relu(h, negative_slope=0.2)
+        # single gather for positions ++ features (row-count-bound on TPU)
+        both = take(jnp.concatenate([key_points, feature_sampling], axis=-1))
+        topk_key_points = both[..., :3]                       # [B, N, K, 3]
+        topk_feature = both[..., 3:]                          # [B, N, K, 128]
+
+        direction = topk_key_points - points[:, :, None, :]   # [B, N, K, 3]
+        feat_dir = jnp.concatenate([topk_feature, direction], axis=-1)  # [B,N,K,131]
+
+        attended = KPAM(self.nn_nb)(feat_dir, topk_dist)
+        h = ConvGNAct(128, 2)(attended)                       # conv1 (dgcnn-4.py:390-392)
         h = jnp.max(h, axis=2)                                # max over K -> [B, N, 128]
         h = jnp.concatenate([h, feature], axis=-1)            # [B, N, 256]
         return fnn.Dense(3)(h)                                # mlp_offset
