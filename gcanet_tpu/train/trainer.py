@@ -166,14 +166,21 @@ class Trainer:
         stat: Dict[str, float] = {}
         step_t0 = time.time()
         n_batches = 0
+        pending = []                        # device-side metrics; fetch lazily
         for batch_idx, batch in enumerate(self._train_batches(epoch)):
             rng, sub = jax.random.split(rng)
             arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
             self.state, metrics = self.train_step(self.state, arrays, sub)
             n_batches += 1
-            for k, v in metrics.items():
-                stat[k] = stat.get(k, 0.0) + float(v)
+            # keep metrics on device: a float() here would force a device
+            # round-trip per batch (high latency on the tunnelled TPU); we
+            # only materialise at the logging boundary
+            pending.append(metrics)
             if (batch_idx + 1) % 50 == 0:
+                for m in pending:
+                    for k, v in m.items():
+                        stat[k] = stat.get(k, 0.0) + float(v)
+                pending = []
                 dt = time.time() - step_t0
                 stat["example/sec"] = cfg.batch_size * 50 / dt
                 self.train_viz.log_scalars(
