@@ -46,6 +46,18 @@ class ScalarLogger:
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
+    def log_histogram(self, name: str, values, step: int, bins: int = 16):
+        """Histogram summary (tf_logger.py histo_summary equivalent): quantile
+        sketch + bin counts as a JSONL record."""
+        v = np.asarray(values).ravel()
+        counts, edges = np.histogram(v, bins=bins)
+        rec = {"step": int(step), "time": time.time(), "histogram": name,
+               "min": float(v.min()), "max": float(v.max()),
+               "mean": float(v.mean()), "std": float(v.std()),
+               "counts": counts.tolist(), "edges": np.round(edges, 6).tolist()}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
 
 class Trainer:
     def __init__(self, cfg: Config):

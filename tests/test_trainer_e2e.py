@@ -74,3 +74,13 @@ def test_predictor_meanshift_mode(tmp_path):
     out = pred.predict(obj["gt_pc"], obj["gt_normal"])
     assert out["instance_labels"].shape == (cfg.num_points,)
     assert out["instance_labels"].min() >= 0
+
+
+def test_scalar_logger_histogram(tmp_path):
+    from gcanet_tpu.train.trainer import ScalarLogger
+    import json as _json
+
+    lg = ScalarLogger(str(tmp_path), "t")
+    lg.log_histogram("grads", np.random.RandomState(0).randn(1000), step=3)
+    rec = _json.loads(open(lg.path).read().strip())
+    assert rec["histogram"] == "grads" and len(rec["counts"]) == 16
