@@ -31,7 +31,8 @@ A100_REFERENCE_CLOUDS_PER_SEC = 5.0  # documented estimate, see BASELINE.md
 def main():
     enable_compilation_cache()
     batch = int(os.environ.get("GCA_BENCH_BATCH", "8"))
-    cfg = Config(num_points=8192, batch_size=batch, max_instances=48)
+    n_pts = int(os.environ.get("GCA_BENCH_POINTS", "8192"))
+    cfg = Config(num_points=n_pts, batch_size=batch, max_instances=48)
     model = PrimitiveNet(cfg)
     tx = step_lib.make_optimizer(cfg)
     state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
