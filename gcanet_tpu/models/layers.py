@@ -11,7 +11,7 @@ Torch-to-flax translation notes:
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import flax.linen as fnn
 import jax

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gcanet_tpu.models.layers import ConvGNAct, leaky_relu
+from gcanet_tpu.models.layers import ConvGNAct
 from gcanet_tpu.ops.mathutil import safe_norm
 
 

@@ -9,7 +9,7 @@ a fixed ``[B, N, C]`` grid so the cross attention is one fused batched call.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import flax.linen as fnn
 import jax

@@ -36,7 +36,7 @@ Design notes (why this is not a port):
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ surface for reference users who called the model through
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,13 +13,12 @@ gradients are psum-averaged over ICI.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from gcanet_tpu.config import Config
 from gcanet_tpu.losses import losses as L

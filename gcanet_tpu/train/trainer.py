@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from gcanet_tpu.config import Config
-from gcanet_tpu.models.primitive_net import PrimitiveNet
 from gcanet_tpu.train import instances as inst_utils
 from gcanet_tpu.train import metrics as metric_utils
 from gcanet_tpu.train import step as step_lib
@@ -94,6 +93,9 @@ class Trainer:
         self.state = step_lib.init_state(cfg, self.model, self.tx, rng)
         n_params = sum(x.size for x in jax.tree.leaves(self.state.params))
         print(f"parameters number: {n_params / 1e6:.2f} M")
+        if cfg.num_points % 128:
+            print(f"note: num_points={cfg.num_points} is not 128-aligned; "
+                  f"TPU throughput is ~2x better at e.g. 8192 (see BASELINE.md)")
         self.train_step = step_lib.make_train_step(cfg, self.model, self.tx, self.mesh)
         self.eval_step = step_lib.make_eval_step(cfg, self.model)
         self.start_epoch = 0
