@@ -154,3 +154,38 @@ def test_simple_clusters_and_radius_graph():
     # big cluster kept (60 >= 0.15*200=30), small dropped (10 < 30)
     assert (labels[:60] == 0).all()
     assert (labels[60:] == -1).all()
+
+
+def test_proposal_ordering_kept_before_primary_within_class():
+    """Reference merge order: per (item, class), kept fragments precede
+    primaries (functions.py:62-71), classes ascending (dgcnn-4.py:1188)."""
+    rng = np.random.RandomState(7)
+    # class 0: one kept blob (40 pts; mean 200 -> kept in [10, 60)) and one
+    # primary blob (80 pts >= 60); class 1: one primary blob (70 pts)
+    blobs = [
+        (80, [0, 0, 0], 0),    # class 0 primary
+        (40, [5, 0, 0], 0),    # class 0 kept
+        (70, [0, 5, 0], 1),    # class 1 primary
+    ]
+    pts, cls, emb = [], [], []
+    for i, (m, c, k) in enumerate(blobs):
+        pts.append(0.005 * rng.randn(m, 3) + c)
+        cls.append(np.full(m, k))
+        emb.append(np.full((m, 4), 10.0 * i) + 0.001 * rng.randn(m, 4))
+    shifted = np.concatenate(pts).astype(np.float32)
+    cls = np.concatenate(cls).astype(np.int32)
+    emb = np.concatenate(emb).astype(np.float32)
+    param = rng.randn(len(cls), 22).astype(np.float32)
+    cfg = GroupingConfig(radius=0.1, min_npoint=5,
+                         class_numpoint_mean=(200.0, 200.0))
+    props = G.build_proposals(
+        jnp.asarray(shifted[None]), jnp.asarray(cls[None]),
+        jnp.asarray(emb[None]), jnp.asarray(param[None]),
+        num_classes=2, cfg=cfg, max_proposals=8)
+    num = int(props.num)
+    assert num == 3
+    sizes = np.asarray(props.size)[:num].tolist()
+    pcls = np.asarray(props.cls)[:num].tolist()
+    # class 0 first: kept (40) before primary (80); then class 1 primary (70)
+    assert pcls == [0, 0, 1]
+    assert sizes == [40, 80, 70]
