@@ -89,7 +89,7 @@ def fit_sphere(points, weights):
 def fit_cylinder(points, normals, weights):
     """fitting_func.py:200-230 -> (axis [3, 1], center [1, 3], radius)."""
     a = smallest_right_singular(weights * normals).reshape(3, 1)
-    a = a / (safe_norm(a, axis=None if False else 0, keepdims=True) + EPS)
+    a = a / (safe_norm(a, axis=0, keepdims=True) + EPS)
     prj = points - (points @ a) @ a.T          # project out the axis
     center, radius = fit_circle_3d(prj)
     return a, center, radius

@@ -111,13 +111,14 @@ def voxelization_idx(coords: jnp.ndarray, max_voxels: int):
     occurrence, matching the reference's insertion-order hash map.
     """
     m = coords.shape[0]
-    # linearise (assumes coords fit 21 bits per axis after offset)
-    c = coords.astype(jnp.int64)
-    key = ((c[:, 0] << 48) | ((c[:, 1] + 2**15) << 32)
-           | ((c[:, 2] + 2**15) << 16) | (c[:, 3] + 2**15))
-    order = jnp.argsort(key, stable=True)
-    sk = key[order]
-    first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
+    # lexicographic sort over the 4 columns (int64 bit-packing would silently
+    # truncate under JAX's default x64-disabled mode)
+    c = coords.astype(jnp.int32)
+    order = jnp.lexsort((c[:, 3], c[:, 2], c[:, 1], c[:, 0]))
+    sc = c[order]
+    first = jnp.concatenate([
+        jnp.array([True]),
+        jnp.any(sc[1:] != sc[:-1], axis=1)])
     # voxel rank by first-occurrence position
     occ_pos = jnp.where(first, order, m)
     grp = jnp.cumsum(first.astype(jnp.int32)) - 1          # group per sorted row

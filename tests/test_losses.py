@@ -182,3 +182,19 @@ def test_instance_loss_runs_and_zero_when_no_fg():
                                jnp.asarray(inst), jnp.asarray(pointnum),
                                jnp.asarray(np.zeros(i, np.int64)), jnp.asarray(valid), 7)
     assert float(loss0) == 0.0
+
+
+def test_device_voxelization_idx_matches_native():
+    """The jnp parity voxeliser must agree with the C++/numpy dedupe (the
+    previous int64 packing silently truncated under x64-disabled JAX)."""
+    from gcanet_tpu.data import native
+    from gcanet_tpu.ops import voxelize as V
+
+    rng = np.random.RandomState(11)
+    coords = np.concatenate([rng.randint(0, 3, (400, 1)),
+                             rng.randint(-6, 6, (400, 3))], axis=1)
+    out_ref, p2v_ref, v_ref = native.voxelize_idx(coords)
+    out, p2v, v = V.voxelization_idx(jnp.asarray(coords), max_voxels=400)
+    assert int(v) == v_ref
+    np.testing.assert_array_equal(np.asarray(p2v), p2v_ref)
+    np.testing.assert_array_equal(np.asarray(out)[:v_ref], out_ref)
