@@ -49,7 +49,7 @@ def synth_object(cfg: Config, rng: np.random.RandomState) -> Dict[str, np.ndarra
             normals = d
             p22[0:3] = center
             p22[3] = r
-        else:                                   # cylinder / cone as cylinder-ish
+        elif typ == 4:                          # cylinder
             axis = _unit(rng.randn(3))
             r = rng.uniform(0.03, 0.12)
             u = _unit(np.cross(axis, rng.randn(3)))
@@ -59,14 +59,24 @@ def synth_object(cfg: Config, rng: np.random.RandomState) -> Dict[str, np.ndarra
             ring = np.cos(theta)[:, None] * u + np.sin(theta)[:, None] * v
             p = center + r * ring + h[:, None] * axis
             normals = ring
-            if typ == 4:
-                p22[8:11] = axis
-                p22[11:14] = center
-                p22[14] = r
-            else:
-                p22[15:18] = axis
-                p22[18:21] = center
-                p22[21] = 0.5
+            p22[8:11] = axis
+            p22[11:14] = center
+            p22[14] = r
+        else:                                   # cone (apex at center)
+            axis = _unit(rng.randn(3))
+            half_angle = rng.uniform(0.3, 0.7)
+            u = _unit(np.cross(axis, rng.randn(3)))
+            v = np.cross(axis, u)
+            theta = rng.uniform(0, 2 * np.pi, m)
+            t = rng.uniform(0.05, 0.3, m)       # distance along the axis
+            ring = np.cos(theta)[:, None] * u + np.sin(theta)[:, None] * v
+            p = (center + t[:, None] * axis
+                 + (t * np.tan(half_angle))[:, None] * ring)
+            normals = (np.cos(half_angle) * ring
+                       - np.sin(half_angle) * axis[None, :])
+            p22[15:18] = axis
+            p22[18:21] = center
+            p22[21] = half_angle
         pts.append(p)
         nrm.append(normals)
         tgt.append(np.full(m, typ))
