@@ -32,18 +32,43 @@ from gcanet_tpu.train import metrics as metric_utils
 from gcanet_tpu.train import step as step_lib
 
 
-class ScalarLogger:
-    """JSONL scalar logger (replaces utils/tf_visualizer.py)."""
+def _make_tb_writer(log_dir: str):
+    """TensorBoard event-file writer, master-only and import-guarded.
 
-    def __init__(self, log_dir: str, name: str):
+    The reference logs through tensorboardX on the master process
+    (softgroup/util/logger.py:26-38 wraps SummaryWriter with @master_only;
+    utils/tf_logger.py:12-73 is the TF1 equivalent).  JSONL stays the source
+    of truth; event files are a parallel stream for TensorBoard dashboards.
+    """
+    if jax.process_index() != 0:
+        return None
+    try:
+        from tensorboardX import SummaryWriter
+    except ImportError:
+        return None
+    return SummaryWriter(log_dir)
+
+
+class ScalarLogger:
+    """JSONL scalar logger + optional TensorBoard event files
+    (replaces utils/tf_visualizer.py / softgroup/util/logger.py)."""
+
+    def __init__(self, log_dir: str, name: str, tensorboard: bool = True):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"scalars_{name}.jsonl")
+        self.name = name
+        self.tb = _make_tb_writer(os.path.join(log_dir, "tb", name)) \
+            if tensorboard else None
 
     def log_scalars(self, scalars: Dict[str, float], step: int):
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in scalars.items()})
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(k, float(v), int(step))
+            self.tb.flush()
 
     def log_histogram(self, name: str, values, step: int, bins: int = 16):
         """Histogram summary (tf_logger.py histo_summary equivalent): quantile
@@ -56,6 +81,43 @@ class ScalarLogger:
                "counts": counts.tolist(), "edges": np.round(edges, 6).tolist()}
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self.tb is not None:
+            self.tb.add_histogram(name, v, int(step))
+
+
+def prefetch_to_device(batch_iter, depth: int = 2):
+    """Move batches to device on a background thread, ``depth`` ahead.
+
+    The reference overlaps host work with GPU compute through DataLoader
+    worker processes + pinned-memory `.cuda()` (trainer_new.py:163-208); the
+    TPU analogue is issuing ``device_put`` for upcoming batches while the
+    current step executes, hiding the host->device transfer on the tunnelled
+    TPU.  ``index`` entries (python ids) pass through untouched.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    end = object()
+
+    def producer():
+        try:
+            for item in batch_iter:
+                arrays = {k: (v if k == "index" else jax.device_put(np.asarray(v)))
+                          for k, v in item.items()}
+                q.put(arrays)
+            q.put(end)
+        except BaseException as e:                      # noqa: BLE001
+            q.put(e)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is end:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 class Trainer:
@@ -181,9 +243,10 @@ class Trainer:
         step_t0 = time.time()
         n_batches = 0
         pending = []                        # device-side metrics; fetch lazily
-        for batch_idx, batch in enumerate(self._train_batches(epoch)):
+        batches = prefetch_to_device(self._train_batches(epoch))
+        for batch_idx, batch in enumerate(batches):
             rng, sub = jax.random.split(rng)
-            arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
+            arrays = {k: v for k, v in batch.items() if k != "index"}
             self.state, metrics = self.train_step(self.state, arrays, sub)
             n_batches += 1
             # keep metrics on device: a float() here would force a device
