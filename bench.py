@@ -50,8 +50,9 @@ def main():
     n_iters = 10
     t0 = time.perf_counter()
     for i in range(n_iters):
-        rng, sub = jax.random.split(rng)
-        state, metrics = train_step(state, batch, sub)
+        # per-step key derives from state.step inside the jit; a host-side
+        # split here would stall the tunnelled dispatch pipeline
+        state, metrics = train_step(state, batch, rng)
     float(metrics["total_loss"])
     dt = time.perf_counter() - t0
 

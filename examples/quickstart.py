@@ -32,11 +32,12 @@ def main():
     state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
     train_step = step_lib.make_train_step(cfg, model, tx)
 
+    rng = jax.random.PRNGKey(1)          # per-step key folds in state.step
     for i in range(3):
         batch = {k: jnp.asarray(v)
                  for k, v in synth_batch(cfg, cfg.batch_size, seed=i).items()
                  if k != "index"}
-        state, metrics = train_step(state, batch, jax.random.PRNGKey(i))
+        state, metrics = train_step(state, batch, rng)
         print(f"step {i}: loss {float(metrics['total_loss']):.3f}")
 
     # --- inference --------------------------------------------------------

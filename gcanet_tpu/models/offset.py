@@ -62,14 +62,18 @@ class OffsetPredModule(fnn.Module):
         gn = inst_sampling / safe_norm(inst_sampling, axis=-1, keepdims=True)
         sim = jnp.einsum("bnc,bkc->bnk", fn, gn) - 1.0       # [B, N, S]
 
-        topk_dist, topk_idx = jax.lax.top_k(sim, self.nn_nb)  # sorted descending
+        _, topk_idx = jax.lax.top_k(jax.lax.stop_gradient(sim), self.nn_nb)
 
-        def take(src):                                        # [B, S, C] -> [B, N, K, C]
-            return jnp.take_along_axis(src[:, None, :, :],
-                                       topk_idx[..., None], axis=2)
-
-        # single gather for positions ++ features (row-count-bound on TPU)
-        both = take(jnp.concatenate([key_points, feature_sampling], axis=-1))
+        # One-hot MXU formulation: with only S=120 keypoint rows, the top-k
+        # pull (and its backward scatter) is 11x faster as a [B,N,K,S]@[B,S,C]
+        # matmul than as gather/scatter (measured fwd+bwd 7.3 ms vs 83 ms at
+        # B=8, N=8192).  The sorted similarities are recovered by the same
+        # matmul against sim, keeping the KPAM input and sim-gradient exact.
+        onehot = jax.nn.one_hot(topk_idx, self.sampling_ratio,
+                                dtype=feature.dtype)           # [B, N, K, S]
+        src = jnp.concatenate([key_points, feature_sampling], axis=-1)
+        both = jnp.einsum("bnks,bsc->bnkc", onehot, src)       # [B, N, K, 131]
+        topk_dist = jnp.einsum("bnks,bns->bnk", onehot, sim)   # sorted top-k
         topk_key_points = both[..., :3]                       # [B, N, K, 3]
         topk_feature = both[..., 3:]                          # [B, N, K, 128]
 

@@ -14,6 +14,7 @@ are subsumed by :mod:`gcanet_tpu.ops.knn` / :mod:`gcanet_tpu.ops.pointnet2`.
 from __future__ import annotations
 
 import flax.linen as fnn
+import jax
 import jax.numpy as jnp
 
 from gcanet_tpu.models.layers import ConvGNAct
@@ -49,12 +50,19 @@ class OffsetPredModuleDual(fnn.Module):
         key_points = points[:, sub]
         feature_sampling = feature[:, sub]
 
-        # k nearest keypoints by euclidean distance (KNN_CUDA semantics)
+        # k nearest keypoints by euclidean distance (KNN_CUDA semantics).
+        # The three keypoint pulls are one [B,N,K,S]@[B,S,C] one-hot matmul:
+        # with S=120 source rows this is an order of magnitude faster than
+        # gather/scatter on TPU (see OffsetPredModule).  The seg branch of the
+        # reference is commented out (dgcnn-2.py), so sem_knn is not pulled.
         _, idx = p2.knn_point(k, key_points, points)            # [B, N, K]
-        points_knn = p2.group_points(key_points, idx)           # [B, N, K, 3]
-        feature_knn = p2.group_points(feature_sampling, idx)    # [B, N, K, 128]
-        sem_knn = p2.group_points(semantic_feature[:, sub], idx)
-        inst_knn = p2.group_points(instance_feature[:, sub], idx)
+        onehot = jax.nn.one_hot(idx, self.sampling_ratio, dtype=feature.dtype)
+        src = jnp.concatenate([key_points, feature_sampling,
+                               instance_feature[:, sub]], -1)   # [B, S, 195]
+        pulled = jnp.einsum("bnks,bsc->bnkc", onehot, src)
+        points_knn = pulled[..., :3]                            # [B, N, K, 3]
+        feature_knn = pulled[..., 3:3 + feature.shape[-1]]      # [B, N, K, 128]
+        inst_knn = pulled[..., 3 + feature.shape[-1]:]          # [B, N, K, 64]
 
         direction = points_knn - points[:, :, None, :]
         feat_dir = jnp.concatenate([feature_knn, direction], -1)  # [B,N,K,131]
@@ -62,7 +70,6 @@ class OffsetPredModuleDual(fnn.Module):
         # euclidean distance of each point's instance embedding to neighbours
         d_inst = jnp.sqrt(jnp.clip(jnp.sum(
             (instance_feature[:, :, None, :] - inst_knn) ** 2, -1), min=1e-12))
-        del sem_knn                                              # seg branch commented out in ref
 
         attended = KPAMSigmoid(k)(feat_dir, d_inst)
         h = ConvGNAct(128, 2)(attended)

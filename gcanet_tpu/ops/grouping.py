@@ -230,10 +230,16 @@ def build_proposals(
     root_rank = ((g_batch * num_classes + g_cls) * 2
                  + g_primary.astype(jnp.int32)) * n_total + g_idx
     root_rank = jnp.where(g_is_root & g_qual, root_rank, _BIG_I)
-    order = jnp.argsort(root_rank)                                # [B*N]
     p = max_proposals
-    top_roots = order[:p].astype(jnp.int32)                       # global root idx per pid
-    top_valid = root_rank[top_roots] < _BIG_I
+    # pad so the [:p] slice is well-defined when B*N < max_proposals (toy
+    # sizes; the padded slots rank as invalid and their indices are clamped)
+    pad = max(0, p - n_total)
+    rank_full = jnp.concatenate(
+        [root_rank, jnp.full((pad,), _BIG_I, root_rank.dtype)]) if pad \
+        else root_rank
+    order = jnp.argsort(rank_full)                                # [>=B*N]
+    top_valid = rank_full[order[:p]] < _BIG_I
+    top_roots = jnp.minimum(order[:p], n_total - 1).astype(jnp.int32)
 
     # root -> pid scatter (overflow slot at n_total)
     pid_of_root = jnp.full((n_total + 1,), -1, jnp.int32)

@@ -48,29 +48,94 @@ class Predictor:
 
         self._forward = _forward
 
-    def predict(self, xyz: np.ndarray, normals: np.ndarray) -> Dict:
-        """xyz/normals [N, 3] (N must equal cfg.num_points) -> prediction dict
-        with per-point types/params/offsets and extracted instances."""
-        out = self._forward(self.state.params, self.state.batch_stats,
-                            jnp.asarray(xyz)[None], jnp.asarray(normals)[None])
-        preds = inst_utils.get_instances(
-            np.asarray(out.proposals.point_pid), np.asarray(out.semantic_scores),
-            np.asarray(out.instance.cls_scores),
-            np.asarray(out.instance.iou_scores),
-            np.asarray(out.instance.mask_scores),
-            np.asarray(out.proposals.valid), self.cfg.num_primitives)
-        n = xyz.shape[0]
-        if self.cluster_mode == "meanshift":
-            from gcanet_tpu.geometry.affinity import mean_shift
+        @jax.jit
+        def _forward_fast(params, batch_stats, xyz, normals):
+            # forward + on-device instance extraction: on the tunnelled TPU
+            # the device->host fetch is the serving bottleneck (~31 MB/s
+            # measured; [CH, N, C] mask scores alone are several hundred ms),
+            # so only the merged labels + a [P, CI] table leave the device
+            out = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                xyz, normals, train=False, rng=jax.random.PRNGKey(0))
+            merged, keep, conf, npoint = inst_utils.merged_labels_device(
+                out.proposals.point_pid, out.instance.cls_scores,
+                out.instance.iou_scores, out.instance.mask_scores,
+                out.proposals.valid, self.cfg.num_primitives)
+            return (merged, keep, conf, npoint, out.type_per_point[0],
+                    out.param_per_point[0], out.pt_offsets, out.embedding[0])
 
-            merged = mean_shift(np.asarray(out.embedding), self.cfg.bandwidth)[0]
-        else:
-            merged = inst_utils.merge_masks(preds) if preds else np.zeros(n, np.int32)
+        self._forward_fast = _forward_fast
+
+    def predict(self, xyz: np.ndarray, normals: np.ndarray,
+                return_masks: bool = False,
+                return_embedding: bool = False) -> Dict:
+        """xyz/normals [N, 3] (N must equal cfg.num_points) -> prediction dict
+        with per-point types/params/offsets and extracted instances.
+
+        Default fast path: instance extraction runs on device and the
+        ``instances`` list carries RLE masks reconstructed from the merged
+        (non-overlapping) labels.  ``return_masks=True`` switches to the host
+        extraction path whose RLE masks may overlap exactly as the
+        reference's get_instances emits them (dgcnn-4.py:1040-1120) — at the
+        cost of fetching the full mask-score tensor.  The 64-d per-point
+        embedding (2 MB at N=8192 — half the fast path's fetch bytes on the
+        ~23 MB/s tunnel) is fetched only with ``return_embedding=True``
+        (implied by the meanshift cluster mode and ``return_masks``).
+        """
+        n = xyz.shape[0]
+        if return_masks or self.cluster_mode == "meanshift":
+            out = self._forward(self.state.params, self.state.batch_stats,
+                                jnp.asarray(xyz)[None], jnp.asarray(normals)[None])
+            # single device->host transfer: every np.asarray is its own RTT
+            (pid, sem, cls_s, iou_s, mask_s, valid, tpp, ppp, off,
+             emb) = jax.device_get(
+                (out.proposals.point_pid, out.semantic_scores,
+                 out.instance.cls_scores, out.instance.iou_scores,
+                 out.instance.mask_scores, out.proposals.valid,
+                 out.type_per_point[0], out.param_per_point[0],
+                 out.pt_offsets, out.embedding))
+            preds = inst_utils.get_instances(
+                pid, sem, cls_s, iou_s, mask_s, valid, self.cfg.num_primitives)
+            if self.cluster_mode == "meanshift":
+                from gcanet_tpu.geometry.affinity import mean_shift
+
+                merged = mean_shift(emb, self.cfg.bandwidth)[0]
+            else:
+                merged = inst_utils.merge_masks(preds) if preds \
+                    else np.zeros(n, np.int32)
+            return {
+                "type_per_point": tpp,
+                "param_per_point": ppp,
+                "pt_offsets": off,
+                "embedding": emb[0],
+                "instances": preds,
+                "instance_labels": merged,
+            }
+
+        dev = self._forward_fast(self.state.params, self.state.batch_stats,
+                                 jnp.asarray(xyz)[None],
+                                 jnp.asarray(normals)[None])
+        if not return_embedding:
+            dev = dev[:-1]
+        fetched = jax.device_get(dev)
+        merged, keep, conf, npoint, tpp, ppp, off = fetched[:7]
+        emb = fetched[7] if return_embedding else None
+        preds = []
+        rank = 0
+        for i in range(self.cfg.num_primitives):
+            for p in np.nonzero(keep[:, i])[0]:
+                preds.append({
+                    "label_id": i + 1,
+                    "conf": float(conf[p, i]),
+                    "npoint": int(npoint[p, i]),
+                    "pred_mask": inst_utils.rle_encode(merged == rank),
+                })
+                rank += 1
         return {
-            "type_per_point": np.asarray(out.type_per_point[0]),
-            "param_per_point": np.asarray(out.param_per_point[0]),
-            "pt_offsets": np.asarray(out.pt_offsets),
-            "embedding": np.asarray(out.embedding[0]),
+            "type_per_point": tpp,
+            "param_per_point": ppp,
+            "pt_offsets": off,
+            "embedding": emb,
             "instances": preds,
             "instance_labels": merged,
         }

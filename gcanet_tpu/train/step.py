@@ -150,6 +150,11 @@ def make_train_step(cfg: Config, model: PrimitiveNet, tx,
         return total, (ld, mut.get("batch_stats", batch_stats))
 
     def local_step(state: TrainState, batch, rng):
+        # Derive the per-step key on device: callers pass the SAME base key
+        # every call.  A host-side jax.random.split between dispatches is a
+        # tiny tunnelled device program that stalls the dispatch pipeline
+        # (measured 615 -> 1757 ms/step at B=8 on the tunnelled v5e).
+        rng = jax.random.fold_in(rng, state.step)
         (total, (ld, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, rng)
         if mesh is not None:
@@ -176,7 +181,10 @@ def make_train_step(cfg: Config, model: PrimitiveNet, tx,
 
 
 def make_eval_step(cfg: Config, model: PrimitiveNet):
-    """Eval forward (batch 1, postprocess path) returning the full ModelOutput."""
+    """Eval forward (batch 1, postprocess path) returning the full ModelOutput
+    plus device-side merged instance labels (get_instances + merge_masks run
+    inside the jit so eval fetches [N] ints instead of [CH, N, C] masks)."""
+    from gcanet_tpu.train import instances as inst_utils
 
     @jax.jit
     def step(params, batch_stats, batch):
@@ -184,6 +192,10 @@ def make_eval_step(cfg: Config, model: PrimitiveNet):
                           batch["gt_pc"], batch["gt_normal"], train=False,
                           rng=jax.random.PRNGKey(0))
         total, ld = compute_losses(cfg, out, batch)
-        return out, total, ld
+        merged, _, _, _ = inst_utils.merged_labels_device(
+            out.proposals.point_pid, out.instance.cls_scores,
+            out.instance.iou_scores, out.instance.mask_scores,
+            out.proposals.valid, cfg.num_primitives)
+        return out, merged, total, ld
 
     return step

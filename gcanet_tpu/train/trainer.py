@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from gcanet_tpu.config import Config
-from gcanet_tpu.train import instances as inst_utils
 from gcanet_tpu.train import metrics as metric_utils
 from gcanet_tpu.train import step as step_lib
 
@@ -134,6 +133,10 @@ class Trainer:
         self.test_viz = ScalarLogger(cfg.log_dir, "test")
         logging.basicConfig(level=logging.INFO)
         self.logger = logging.getLogger("Train")
+        # basicConfig is a no-op when jax/absl already configured the root
+        # logger, leaving the effective level at WARNING — set INFO explicitly
+        # or trainlog.log stays empty (trainer_new.py:35-55 logs at INFO)
+        self.logger.setLevel(logging.INFO)
         fh = logging.FileHandler(os.path.join(cfg.log_dir, "trainlog.log"))
         fh.setFormatter(logging.Formatter("%(asctime)s---%(message)s"))
         self.logger.addHandler(fh)
@@ -245,9 +248,10 @@ class Trainer:
         pending = []                        # device-side metrics; fetch lazily
         batches = prefetch_to_device(self._train_batches(epoch))
         for batch_idx, batch in enumerate(batches):
-            rng, sub = jax.random.split(rng)
+            # per-step key is folded in on device from state.step — no
+            # host-side split (each one is a tunnelled mini-dispatch)
             arrays = {k: v for k, v in batch.items() if k != "index"}
-            self.state, metrics = self.train_step(self.state, arrays, sub)
+            self.state, metrics = self.train_step(self.state, arrays, rng)
             n_batches += 1
             # keep metrics on device: a float() here would force a device
             # round-trip per batch (high latency on the tunnelled TPU); we
@@ -279,29 +283,25 @@ class Trainer:
         for batch in self._test_batches():
             arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
             try:
-                out, total, ld = self.eval_step(self.state.params,
-                                                self.state.batch_stats, arrays)
+                out, merged_dev, total, ld = self.eval_step(
+                    self.state.params, self.state.batch_stats, arrays)
             except Exception as e:                 # noqa: BLE001
                 # log the failing object and continue (trainer_new.py:333-335)
                 obj = batch.get("index", ["?"])[0]
                 self.logger.error(f"error: {obj}: {e}")
                 continue
-            # host-side instance extraction + metrics (train_new.py:157-165)
-            pid = np.asarray(out.proposals.point_pid)
-            sem = np.asarray(out.semantic_scores)
-            preds = inst_utils.get_instances(
-                pid, sem, np.asarray(out.instance.cls_scores),
-                np.asarray(out.instance.iou_scores),
-                np.asarray(out.instance.mask_scores),
-                np.asarray(out.proposals.valid), cfg.num_primitives)
-            n = sem.shape[0]
-            merged = inst_utils.merge_masks(preds) if preds else np.zeros(n, np.int32)
-            i_gt = np.asarray(arrays["I_gt"][0])
+            # instance extraction ran on device (merged_labels_device); one
+            # tiny device_get covers everything the host metrics consume —
+            # each separate np.asarray/float is a device->host RTT on the
+            # tunnelled TPU, and [CH, N, C] mask fetches dominate otherwise
+            merged, tpp, ld_host = jax.device_get(
+                (merged_dev, out.type_per_point[0], ld))
+            i_gt = np.asarray(batch["I_gt"][0])
+            t_gt = np.asarray(batch["T_gt"][0])
             miou = metric_utils.compute_miou(merged, i_gt)
             type_miou = metric_utils.compute_type_miou_abc(
-                np.asarray(out.type_per_point[0]), np.asarray(arrays["T_gt"][0]),
-                merged, i_gt)
-            for k, v in dict(ld, miou=miou, type_miou=type_miou).items():
+                tpp, t_gt, merged, i_gt)
+            for k, v in dict(ld_host, miou=miou, type_miou=type_miou).items():
                 stat[k] = stat.get(k, 0.0) + float(v)
             if cfg.resultsSave:
                 self._save_xyz_dumps(batch, out, merged, miou, type_miou)

@@ -189,3 +189,21 @@ def test_proposal_ordering_kept_before_primary_within_class():
     # class 0 first: kept (40) before primary (80); then class 1 primary (70)
     assert pcls == [0, 0, 1]
     assert sizes == [40, 80, 70]
+
+
+def test_proposal_cap_larger_than_point_count():
+    """Regression: max_proposals > B*N used to break the top-k slice
+    (found driving eval at toy sizes: N=128, cap 200)."""
+    shifted, cls, emb, param = _make_inputs()
+    n = len(cls)
+    cfg = GroupingConfig(radius=0.1, min_npoint=5,
+                         class_numpoint_mean=(100.0, 100.0, 100.0))
+    props = G.build_proposals(
+        jnp.asarray(shifted[None]), jnp.asarray(cls[None]),
+        jnp.asarray(emb[None]), jnp.asarray(param[None]),
+        num_classes=3, cfg=cfg, max_proposals=n + 137)
+    assert props.valid.shape == (n + 137,)
+    assert int(props.num) == 6                      # same blobs as above
+    assert not np.asarray(props.valid)[6:].any()    # padded slots invalid
+    pid = np.asarray(props.point_pid)
+    assert (pid[0] >= 0).all() and (pid[0] < 6).all()

@@ -55,7 +55,8 @@ def test_eval_step_and_instances():
     state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
     eval_step = step_lib.make_eval_step(cfg, model)
     batch = _arrays(synth_batch(cfg, 1, seed=1))
-    out, total, ld = eval_step(state.params, state.batch_stats, batch)
+    out, merged_dev, total, ld = eval_step(state.params, state.batch_stats,
+                                           batch)
     assert np.isfinite(float(total))
 
     from gcanet_tpu.train import instances as I
@@ -68,6 +69,15 @@ def test_eval_step_and_instances():
         cfg.num_primitives, min_npoint=5)
     n = cfg.num_points
     merged = I.merge_masks(preds) if preds else np.zeros(n, np.int32)
+
+    # the in-jit extraction must agree with the host pair at eval thresholds
+    merged_dev2, _, _, _ = I.merged_labels_device(
+        np.asarray(out.proposals.point_pid),
+        np.asarray(out.instance.cls_scores),
+        np.asarray(out.instance.iou_scores),
+        np.asarray(out.instance.mask_scores),
+        np.asarray(out.proposals.valid), cfg.num_primitives, min_npoint=5)
+    np.testing.assert_array_equal(np.asarray(merged_dev2), merged)
     i_gt = np.asarray(batch["I_gt"][0])
     miou = M.compute_miou(merged, i_gt)
     tmiou = M.compute_type_miou_abc(np.asarray(out.type_per_point[0]),
@@ -109,7 +119,7 @@ def test_eval_with_set_aggregation():
     state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
     eval_step = step_lib.make_eval_step(cfg, model)
     batch = _arrays(synth_batch(cfg, 1, seed=3))
-    out, total, ld = eval_step(state.params, state.batch_stats, batch)
+    out, _, total, ld = eval_step(state.params, state.batch_stats, batch)
     assert np.isfinite(float(total))
     # channel 1 (absorptions) may be active at eval with set aggr; it must
     # only reference valid proposals
