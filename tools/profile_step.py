@@ -1,0 +1,25 @@
+import os, time  # profiling driver: pairs with tools/parse_trace.py
+import jax, jax.numpy as jnp
+from gcanet_tpu.config import Config
+from gcanet_tpu.data.synthetic import synth_batch
+from gcanet_tpu.models.primitive_net import PrimitiveNet
+from gcanet_tpu.runtime_setup import enable_compilation_cache
+from gcanet_tpu.train import step as step_lib
+
+enable_compilation_cache()
+cfg = Config(num_points=8192, batch_size=8, max_instances=48)
+model = PrimitiveNet(cfg)
+tx = step_lib.make_optimizer(cfg)
+state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
+train_step = step_lib.make_train_step(cfg, model, tx)
+batch = {k: jnp.asarray(v) for k, v in synth_batch(cfg, cfg.batch_size, seed=0).items() if k != "index"}
+rng = jax.random.PRNGKey(1)
+state, metrics = train_step(state, batch, rng)
+float(metrics["total_loss"])
+# profile 3 steps
+with jax.profiler.trace("/tmp/jax_trace")  # parse with tools/parse_trace.py:
+    for i in range(3):
+        rng, sub = jax.random.split(rng)
+        state, metrics = train_step(state, batch, sub)
+    float(metrics["total_loss"])
+print("trace done")
