@@ -137,13 +137,16 @@ class InstanceLossAux(NamedTuple):
 
 def instance_loss(cls_scores, mask_scores, iou_scores, point_pid, prop_valid,
                   instance_labels, instance_pointnum, instance_cls, inst_valid,
-                  num_primitives: int, pos_iou_thr: float = 0.5):
+                  num_primitives: int, pos_iou_thr: float = 0.5,
+                  bg_cls: int = 0):
     """SoftGroup instance loss (loss_utils.py:308-435).
 
     cls_scores/iou_scores [P, C]; mask_scores [CH, B*N, C] per-entry logits;
     point_pid [CH, B*N]; instance_* padded to I with ``inst_valid`` mask.
-    ``ignore_label`` semantics: instances of semantic class 0 are background
-    (loss_utils.py:310), proposal label C-1 is the background class.
+    ``ignore_label`` semantics: instances whose class equals ``bg_cls`` are
+    background — 0 on the ABC path (loss_utils.py:310), -100 on the
+    scene/ScanNet path (softgroup.py:198-200) — and proposal label C-1 is
+    the background class.
     """
     p, c = cls_scores.shape
     i = instance_pointnum.shape[0]
@@ -152,7 +155,7 @@ def instance_loss(cls_scores, mask_scores, iou_scores, point_pid, prop_valid,
     ious = miou_ops.mask_iou_on_cluster(point_pid, instance_labels,
                                         instance_pointnum, p, i)   # [P, I]
 
-    fg = inst_valid & (instance_cls != 0)
+    fg = inst_valid & (instance_cls != bg_cls)
     any_fg = jnp.sum(fg) > 0
     iou_fg = jnp.where(fg[None, :], ious, -1.0)
     max_iou = jnp.max(iou_fg, axis=1)

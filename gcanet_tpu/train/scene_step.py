@@ -1,0 +1,107 @@
+"""Jit-compiled train step for the scene-level SoftGroup model family.
+
+Loss orchestration mirrors the reference's ``SoftGroup.forward_train`` +
+``point_wise_loss`` + ``instance_loss`` (softgroup/model/softgroup.py:113-150,
+152-172, 175-255) with its ``parse_losses`` plain sum (softgroup.py:257-281):
+
+  * semantic cross-entropy, ignore_index -100       (softgroup.py:158-160)
+  * offset L1 summed over non-ignore instance points / count (:163-169)
+  * SoftGroup instance loss with ignore_label -100 as the background
+    instance class (:198-200) — shared with the ABC path
+    (gcanet_tpu/losses/losses.py::instance_loss, bg_cls=-100 here).
+
+Consumes the fixed-shape batches of ``data/scene_dataset.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gcanet_tpu.config import Config
+from gcanet_tpu.losses import losses as L
+from gcanet_tpu.train.step import TrainState
+
+
+def compute_scene_losses(cfg: Config, out, batch: Dict[str, jnp.ndarray]
+                         ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    sem_gt = batch["semantic"].reshape(-1)                    # [B*N]
+    inst_gt = batch["I_gt_global"].reshape(-1)                # [B*N], -1 ignore
+    ld: Dict[str, jnp.ndarray] = {}
+
+    # semantic CE with ignore (softgroup.py:158-160)
+    valid = sem_gt >= 0
+    logp = jax.nn.log_softmax(out.semantic_scores, axis=-1)
+    tgt = jnp.clip(sem_gt, 0, logp.shape[-1] - 1)
+    ce = -jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
+    ld["semantic_loss"] = (jnp.sum(jnp.where(valid, ce, 0.0))
+                           / jnp.maximum(jnp.sum(valid), 1))
+
+    # offset L1 over points with a (non-ignore) instance (softgroup.py:163-169)
+    ld["offset_loss"] = L.offset_loss(
+        out.pt_offsets, inst_gt, batch["pt_offset_label"].reshape(-1, 3))
+
+    inst_total, aux = L.instance_loss(
+        out.instance.cls_scores, out.instance.mask_scores,
+        out.instance.iou_scores, out.proposals.point_pid,
+        out.proposals.valid, inst_gt,
+        batch["instance_pointnum"],
+        batch["instance_cls"], batch["inst_valid"],
+        cfg.num_primitives, bg_cls=-100)
+    ld["cls_loss"] = aux.cls_loss
+    ld["mask_loss"] = aux.mask_loss
+    ld["iou_score_loss"] = aux.iou_score_loss
+    ld["num_pos"] = aux.num_pos
+
+    total = ld["semantic_loss"] + ld["offset_loss"] + inst_total
+    return total, ld
+
+
+def make_scene_train_step(cfg: Config, model, tx, mesh: Mesh | None = None):
+    """Returns jitted ``step(state, batch, rng) -> (state, metrics)``; the
+    per-step key folds in on device from ``state.step`` (same dispatch-
+    pipelining rule as the flagship step)."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["xyz"], batch["feats"], train=True, rng=rng,
+            mutable=["batch_stats"])
+        total, ld = compute_scene_losses(cfg, out, batch)
+        return total, (ld, mut.get("batch_stats", batch_stats))
+
+    def local_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (total, (ld, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, "data")
+            total = jax.lax.pmean(total, "data")
+            ld = jax.lax.pmean(ld, "data")
+            new_bs = jax.lax.pmean(new_bs, "data")
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(ld, total_loss=total)
+        return TrainState(params, new_bs, opt_state, state.step + 1), metrics
+
+    if mesh is None:
+        return jax.jit(local_step)
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P("data"), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def init_scene_state(cfg: Config, model, tx, rng) -> TrainState:
+    xyz = jnp.zeros((cfg.batch_size, cfg.num_points, 3))
+    feats = jnp.zeros((cfg.batch_size, cfg.num_points, 3))
+    variables = model.init({"params": rng}, xyz, feats, train=True, rng=rng)
+    params = variables["params"]
+    return TrainState(params, variables.get("batch_stats", {}),
+                      tx.init(params), jnp.zeros((), jnp.int32))
