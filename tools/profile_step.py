@@ -1,4 +1,9 @@
-import os, time  # profiling driver: pairs with tools/parse_trace.py
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# profiling driver: pairs with tools/parse_trace.py
 import jax, jax.numpy as jnp
 from gcanet_tpu.config import Config
 from gcanet_tpu.data.synthetic import synth_batch
