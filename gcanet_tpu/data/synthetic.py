@@ -118,3 +118,50 @@ def synth_object(cfg: Config, rng: np.random.RandomState) -> Dict[str, np.ndarra
 def synth_batch(cfg: Config, batch_size: int, seed: int = 0) -> Dict[str, np.ndarray]:
     rng = np.random.RandomState(seed)
     return collate([synth_object(cfg, rng) for _ in range(batch_size)], cfg)
+
+
+def synth_scene(cfg: Config, rng: np.random.RandomState,
+                n_instances: int = 5, cls_offset: int = 2
+                ) -> Dict[str, np.ndarray]:
+    """One ScanNet-like scene: gaussian-blob instances in the unit cube with
+    ``semantic = instance_class + cls_offset`` (scannetv2.py convention)."""
+    n = cfg.num_points
+    from gcanet_tpu.data import scene_dataset as sd
+
+    centers = rng.rand(n_instances, 3) * 0.8 + 0.1
+    per = n // n_instances
+    xyz, inst = [], []
+    for j, c in enumerate(centers):
+        cnt = per if j < n_instances - 1 else n - per * (n_instances - 1)
+        xyz.append(np.clip(c + rng.randn(cnt, 3) * 0.04, 0.0, 1.0))
+        inst.append(np.full(cnt, j, np.int32))
+    xyz = np.concatenate(xyz).astype(np.float32)
+    inst = np.concatenate(inst)
+    sem = (inst % max(cfg.num_primitives - cls_offset, 1)) + cls_offset
+    order = rng.permutation(n)
+    xyz, inst, sem = xyz[order], inst[order], sem[order]
+    num, pointnum, inst_cls, offsets = sd.instance_info(
+        xyz, inst, sem, cfg.max_instances, cls_offset)
+    return {
+        "index": "synthetic",
+        "xyz": xyz,
+        "coords_float": xyz,
+        "feats": rng.rand(n, 3).astype(np.float32),
+        "semantic": sem.astype(np.int32),
+        "instance": inst.astype(np.int32),
+        "pt_offset_label": offsets.astype(np.float32),
+        "inst_num": num,
+        "inst_pointnum": pointnum,
+        "inst_cls": inst_cls,
+    }
+
+
+def synth_scene_batch(cfg: Config, batch_size: int, seed: int = 0
+                      ) -> Dict[str, np.ndarray]:
+    from gcanet_tpu.data import scene_dataset as sd
+
+    rng = np.random.RandomState(seed)
+    items = [synth_scene(cfg, rng) for _ in range(batch_size)]
+    ds = sd.SceneDataset.__new__(sd.SceneDataset)
+    ds.cfg = cfg
+    return ds.collate(items)

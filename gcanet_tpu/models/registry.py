@@ -42,6 +42,12 @@ def _softgroup_scene(cfg: Config):
     return SoftGroupNet(cfg)
 
 
+def is_scene_model(model_dict: str) -> bool:
+    """True when the dotted model name resolves to the scene family (drives
+    the SceneTrainer selection in train_new.py)."""
+    return _REGISTRY.get(model_dict) is _softgroup_scene
+
+
 _REGISTRY: Dict[str, Callable] = {
     "gcanet_tpu.models.softgroup_scene": _softgroup_scene,
     "softgroup.model.softgroup": _softgroup_scene,

@@ -1,0 +1,164 @@
+"""Trainer for the scene-level SoftGroup model family.
+
+Reuses the base Trainer's workspace/checkpoint/LR/loop machinery and swaps
+the three scene-specific pieces: the ScanNet-style dataset
+(``data/scene_dataset.py``), the scene train step
+(``train/scene_step.py``), and a scene evaluation epoch reporting
+point-wise semantic mIoU/accuracy plus ScanNet instance AP
+(softgroup's ScanNetEval path, ``train/instance_eval.py``).
+
+Selected automatically by ``train_new.py`` when ``--model_dict`` names the
+scene family (e.g. ``softgroup.model.softgroup``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcanet_tpu.train import instance_eval
+from gcanet_tpu.train import instances as inst_utils
+from gcanet_tpu.train import scene_step
+from gcanet_tpu.train import step as step_lib
+from gcanet_tpu.train.trainer import Trainer
+
+SCENE_SUFFIX = "_inst_nostuff.pth"          # scannetv2 preprocessed dumps
+CLS_OFFSET = 2                              # scannetv2.py:23-27
+
+
+class SceneTrainer(Trainer):
+    def build_model_optimizer(self):
+        cfg = self.cfg
+        from gcanet_tpu.models.registry import build_model
+
+        self.model = build_model(cfg)
+        self.tx = step_lib.make_optimizer(cfg)
+        self.mesh = step_lib.make_mesh(cfg)
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.state = scene_step.init_scene_state(cfg, self.model, self.tx, rng)
+        n_params = sum(x.size for x in jax.tree.leaves(self.state.params))
+        print(f"parameters number: {n_params / 1e6:.2f} M")
+        self.train_step = scene_step.make_scene_train_step(
+            cfg, self.model, self.tx, self.mesh)
+
+        model = self.model
+
+        @jax.jit
+        def eval_step(params, batch_stats, xyz, feats):
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              xyz, feats, train=False,
+                              rng=jax.random.PRNGKey(0))
+            merged, keep, conf, _ = inst_utils.merged_labels_device(
+                out.proposals.point_pid, out.instance.cls_scores,
+                out.instance.iou_scores, out.instance.mask_scores,
+                out.proposals.valid, cfg.num_primitives)
+            sem_pred = jnp.argmax(out.semantic_scores, axis=-1)
+            return merged, keep, conf, sem_pred
+
+        self.eval_step = eval_step
+        self.start_epoch = 0
+        if not cfg.not_load_model:
+            self.load_checkpoint()
+
+    # ------------------------------------------------------------------- data
+    def build_dataloaders(self):
+        cfg = self.cfg
+        from gcanet_tpu.data.scene_dataset import SceneDataset
+
+        train_dir = os.path.join(cfg.data_path, "train")
+        if os.path.isdir(train_dir):
+            suffix = SCENE_SUFFIX if any(
+                f.endswith(SCENE_SUFFIX) for f in os.listdir(train_dir)) \
+                else ".npz"
+            self.train_data = SceneDataset(cfg.data_path, "train", suffix,
+                                           cfg, training=True)
+            val_prefix = "val" if os.path.isdir(
+                os.path.join(cfg.data_path, "val")) else "train"
+            self.test_data = SceneDataset(cfg.data_path, val_prefix, suffix,
+                                          cfg, training=False)
+        else:
+            print(f"scene dir {train_dir} not found -> synthetic scenes")
+            self.train_data = self.test_data = None
+
+    def _train_batches(self, epoch: int):
+        cfg = self.cfg
+        if self.train_data is not None:
+            yield from self.train_data.batches(cfg.batch_size, shuffle=True,
+                                               seed=cfg.seed + epoch)
+        else:
+            from gcanet_tpu.data.synthetic import synth_scene_batch
+
+            for i in range(32):
+                yield synth_scene_batch(cfg, cfg.batch_size,
+                                        seed=epoch * 1000 + i)
+
+    def _test_batches(self):
+        cfg = self.cfg
+        if self.test_data is not None:
+            yield from self.test_data.batches(1, shuffle=False)
+        else:
+            from gcanet_tpu.data.synthetic import synth_scene_batch
+
+            for i in range(8):
+                yield synth_scene_batch(cfg, 1, seed=90000 + i)
+
+    # ------------------------------------------------------------------- eval
+    def test_one_epoch(self, epoch: int):
+        cfg = self.cfg
+        scenes = []
+        sem_stats: Dict[str, float] = {}
+        cnt = 0
+        self._results_rows = []
+        for batch in self._test_batches():
+            xyz = jnp.asarray(batch["xyz"])
+            feats = jnp.asarray(batch["feats"])
+            try:
+                merged_d, keep_d, conf_d, sem_d = self.eval_step(
+                    self.state.params, self.state.batch_stats, xyz, feats)
+            except Exception as e:                 # noqa: BLE001
+                self.logger.error(
+                    f"error: {batch.get('index', ['?'])[0]}: {e}")
+                continue
+            merged, keep, conf, sem_pred = jax.device_get(
+                (merged_d, keep_d, conf_d, sem_d))
+            gt_sem = np.asarray(batch["semantic"][0])
+            gt_inst = np.asarray(batch["instance"][0])
+
+            pw = instance_eval.pointwise_semantic_eval(
+                sem_pred[0] if sem_pred.ndim > 1 else sem_pred, gt_sem,
+                cfg.num_primitives, ignore_label=-100)
+            for k, v in pw.items():
+                sem_stats[k] = sem_stats.get(k, 0.0) + v
+
+            preds = []
+            rank = 0
+            for i in range(cfg.num_primitives):
+                for p in np.nonzero(keep[:, i])[0]:
+                    preds.append({"label_id": i + CLS_OFFSET,
+                                  "conf": float(conf[p, i]),
+                                  "mask": merged == rank})
+                    rank += 1
+            scenes.append({"preds": preds, "gt_inst": gt_inst,
+                           "gt_sem": gt_sem})
+            self._results_rows.append({
+                "ID": batch.get("index", ["?"])[0],
+                "miou": round(pw["miou"], 3), "acc": round(pw["acc"], 3),
+            })
+            cnt += 1
+
+        class_ids = list(range(CLS_OFFSET, cfg.num_primitives + CLS_OFFSET))
+        ap = instance_eval.evaluate_matches(scenes, class_ids) if scenes \
+            else {"all_ap": 0.0, "all_ap_50%": 0.0, "all_ap_25%": 0.0}
+        avg = {k: v / max(cnt, 1) for k, v in sem_stats.items()}
+        avg.update({k: float(v) for k, v in ap.items()
+                    if isinstance(v, (int, float))})
+        self._write_results_csv(epoch, avg)
+        self.test_viz.log_scalars(avg, epoch)
+        self.logger.info("eval " + " ".join(
+            f"{k}: {v:.4f}" for k, v in sorted(avg.items())))
+        # (mIoU, AP50) drive the base class's best-checkpoint retention
+        return avg.get("miou", 0.0), avg.get("all_ap_50%", 0.0)

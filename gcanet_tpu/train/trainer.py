@@ -374,13 +374,17 @@ class Trainer:
     def train(self):
         cfg = self.cfg
         self.build_dataloaders()
+        if cfg.eval:
+            # evaluate the loaded checkpoint once, regardless of where the
+            # epoch counter stands (a finished run has start_epoch ==
+            # max_epoch, which would skip the loop below entirely)
+            print(f"**** EVAL (epoch {self.start_epoch:03d}) ****")
+            self.test_one_epoch(self.start_epoch)
+            return
         max_miou, max_type_miou = 0.0, 0.0
         for epoch in range(self.start_epoch, cfg.max_epoch):
             print(f"**** EPOCH {epoch:03d} **** lr "
                   f"{step_lib.lr_for_epoch(cfg, epoch):f}")
-            if cfg.eval:
-                self.test_one_epoch(epoch)
-                break
             self.train_one_epoch(epoch)
             if epoch % cfg.save_interval == cfg.save_interval - 1:
                 self.save_checkpoint(epoch + 1, tag=f"eval{epoch}")

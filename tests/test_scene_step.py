@@ -21,30 +21,9 @@ def _cfg(batch_size=2):
 
 
 def _scene_batch(cfg, seed=0):
-    rng = np.random.RandomState(seed)
-    b, n = cfg.batch_size, cfg.num_points
-    n_inst = 4
-    items = []
-    for bi in range(n_inst * 0 + b):
-        centers = rng.rand(n_inst, 3) * 0.8 + 0.1
-        xyz, inst = [], []
-        for j, c in enumerate(centers):
-            xyz.append(np.clip(c + rng.randn(n // n_inst, 3) * 0.03, 0, 1))
-            inst.append(np.full(n // n_inst, j, np.int32))
-        xyz = np.concatenate(xyz).astype(np.float32)
-        inst = np.concatenate(inst)
-        sem = inst + 2
-        num, pointnum, cls, off = sd.instance_info(xyz, inst, sem,
-                                                   cfg.max_instances, 2)
-        items.append({"xyz": xyz, "coords_float": xyz,
-                      "feats": rng.rand(n, 3).astype(np.float32),
-                      "semantic": sem.astype(np.int32), "instance": inst,
-                      "pt_offset_label": off, "inst_num": num,
-                      "inst_pointnum": pointnum, "inst_cls": cls,
-                      "index": str(bi)})
-    ds = sd.SceneDataset.__new__(sd.SceneDataset)
-    ds.cfg = cfg
-    batch = ds.collate(items)
+    from gcanet_tpu.data.synthetic import synth_scene_batch
+
+    batch = synth_scene_batch(cfg, cfg.batch_size, seed=seed)
     return {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
 
 

@@ -11,7 +11,12 @@ from option_new import build_option
 def main():
     enable_compilation_cache()
     cfg = build_option()
-    from gcanet_tpu.train.trainer import Trainer
+    from gcanet_tpu.models.registry import is_scene_model
+
+    if is_scene_model(cfg.model_dict):
+        from gcanet_tpu.train.scene_trainer import SceneTrainer as Trainer
+    else:
+        from gcanet_tpu.train.trainer import Trainer
 
     trainer = Trainer(cfg)
     trainer.train()
