@@ -24,7 +24,6 @@ float(metrics["total_loss"])
 # profile 3 steps
 with jax.profiler.trace("/tmp/jax_trace"):  # parse with tools/parse_trace.py
     for i in range(3):
-        rng, sub = jax.random.split(rng)
-        state, metrics = train_step(state, batch, sub)
+        state, metrics = train_step(state, batch, rng)
     float(metrics["total_loss"])
 print("trace done")
