@@ -128,16 +128,30 @@ def synth_scene(cfg: Config, rng: np.random.RandomState,
     n = cfg.num_points
     from gcanet_tpu.data import scene_dataset as sd
 
+    # per-class blob shapes: the semantic class must be observable from the
+    # geometry or the CE floor is ln(num_classes) (class-by-instance-index is
+    # unlearnable — found when a convergence run sat at exactly that floor)
+    shapes = np.array([
+        [0.020, 0.020, 0.020],        # tight sphere
+        [0.060, 0.060, 0.060],        # large sphere
+        [0.050, 0.050, 0.008],        # flat pancake
+        [0.080, 0.012, 0.012],        # elongated rod
+        [0.035, 0.035, 0.035],        # medium sphere
+    ], np.float32)
+    n_classes = max(cfg.num_primitives - cls_offset, 1)
     centers = rng.rand(n_instances, 3) * 0.8 + 0.1
     per = n // n_instances
-    xyz, inst = [], []
+    xyz, inst, sem = [], [], []
     for j, c in enumerate(centers):
         cnt = per if j < n_instances - 1 else n - per * (n_instances - 1)
-        xyz.append(np.clip(c + rng.randn(cnt, 3) * 0.04, 0.0, 1.0))
+        k = int(rng.randint(n_classes))
+        sigma = shapes[k % len(shapes)]
+        xyz.append(np.clip(c + rng.randn(cnt, 3) * sigma, 0.0, 1.0))
         inst.append(np.full(cnt, j, np.int32))
+        sem.append(np.full(cnt, k + cls_offset, np.int32))
     xyz = np.concatenate(xyz).astype(np.float32)
     inst = np.concatenate(inst)
-    sem = (inst % max(cfg.num_primitives - cls_offset, 1)) + cls_offset
+    sem = np.concatenate(sem)
     order = rng.permutation(n)
     xyz, inst, sem = xyz[order], inst[order], sem[order]
     num, pointnum, inst_cls, offsets = sd.instance_info(

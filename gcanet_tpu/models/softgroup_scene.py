@@ -117,13 +117,23 @@ class SoftGroupNet(fnn.Module):
 
         cls_argmax = jnp.argmax(semantic_scores.reshape(b, n, num_cls), -1)
         shifted = xyz + pt_offsets.reshape(b, n, 3)
+        # Reference SoftGroup groups by plain radius ball query on the shifted
+        # coords (softgroup.py:forward_grouping -> ballquery_batch_p) — the
+        # affinity gates are GCANet's addition and are meaningless here (the
+        # scene path trains no embedding-similarity objective; a 0.989 cosine
+        # gate on raw backbone features deletes every edge).
+        import dataclasses
+
+        gcfg = dataclasses.replace(cfg.grouping,
+                                   similarity_threshold_inst=0.0,
+                                   similarity_threshold_para=0.0)
         proposals = grouping_ops.build_proposals(
             jax.lax.stop_gradient(shifted).astype(jnp.float32),
             cls_argmax.astype(jnp.int32),
             jax.lax.stop_gradient(pfeat.reshape(b, n, -1)).astype(jnp.float32),
             jnp.zeros((b, n, 22), jnp.float32),
             num_cls,
-            cfg.grouping,
+            gcfg,
             max_proposals=cfg.instance_head.max_proposals,
             using_set_aggr=(not train) and cfg.using_set_aggr)
 
