@@ -174,11 +174,18 @@ class SceneDataset:
         self.min_npoint = min_npoint
         self.cls_offset = cls_offset
         self.aug_prob = aug_prob
-        pattern = os.path.join(data_root, prefix, "*" + suffix)
-        self.filenames: List[str] = sorted(_glob.glob(pattern)) * repeat
+        self.filenames: List[str] = \
+            sorted(self.collect_filenames(data_root, prefix, suffix)) * repeat
         if not self.filenames:
-            raise FileNotFoundError(f"Empty scene dataset: {pattern}")
+            raise FileNotFoundError(
+                f"Empty scene dataset: {data_root}/{prefix}/*{suffix}")
         self.suffix = suffix
+
+    def collect_filenames(self, data_root, prefix, suffix) -> List[str]:
+        return _glob.glob(os.path.join(data_root, prefix, "*" + suffix))
+
+    def load(self, path: str) -> Dict[str, np.ndarray]:
+        return load_scene(path)
 
     def __len__(self):
         return len(self.filenames)
@@ -223,7 +230,7 @@ class SceneDataset:
             rng: np.random.RandomState) -> Optional[Dict[str, np.ndarray]]:
         path = self.filenames[index % len(self.filenames)]
         scan_id = os.path.basename(path).replace(self.suffix, "")
-        out = self._transform(load_scene(path), rng)
+        out = self._transform(self.load(path), rng)
         if out is None:
             return None
         xyz, xyz_mid, rgb, sem, inst = out
@@ -312,3 +319,116 @@ SCANNET_CLASSES = (
     "toilet", "sink", "bathtub", "otherfurniture")       # scannetv2.py:9-11
 SCANNET_NYU_ID = (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28, 33, 34,
                   36, 39)                                 # scannetv2.py:12
+
+
+class ScanNetSceneDataset(SceneDataset):
+    """scannetv2.py semantics: instance class = semantic - 2 (the base
+    default), ``.pth`` tuples from the standard preprocessing."""
+
+    CLASSES = SCANNET_CLASSES
+    NYU_ID = SCANNET_NYU_ID
+
+
+class S3DISSceneDataset(SceneDataset):
+    """s3dis.py semantics: Area_N prefix lists, 6-tuple ``.pth`` payload,
+    no instance-class shift, optional x4 train subsample (s3dis.py:33-40;
+    the reference's x4 *test* piece-split maps to the fixed-size subsample
+    of the base pipeline)."""
+
+    CLASSES = ("ceiling", "floor", "wall", "beam", "column", "window", "door",
+               "chair", "table", "bookcase", "sofa", "board", "clutter")
+
+    def __init__(self, data_root: str, prefix, suffix: str, cfg: Config,
+                 x4_split: bool = False, **kw):
+        kw.setdefault("cls_offset", 0)
+        self.x4_split = x4_split
+        self._prefixes = [prefix] if isinstance(prefix, str) else list(prefix)
+        super().__init__(data_root, prefix, suffix, cfg, **kw)
+
+    def collect_filenames(self, data_root, prefix, suffix) -> List[str]:
+        files: List[str] = []                              # s3dis.py:20-29
+        for p in self._prefixes:
+            files.extend(_glob.glob(os.path.join(data_root, p + "*" + suffix)))
+        return files
+
+    def load(self, path: str) -> Dict[str, np.ndarray]:
+        import torch
+
+        xyz, rgb, sem, inst, *_ = torch.load(path, weights_only=False)
+        xyz, rgb = np.asarray(xyz), np.asarray(rgb)
+        sem, inst = np.asarray(sem), np.asarray(inst)
+        if self.training and self.x4_split:                # s3dis.py:33-40
+            n = xyz.shape[0]
+            inds = np.random.choice(n, int(n * 0.25), replace=False)
+            xyz, rgb, sem = xyz[inds], rgb[inds], sem[inds]
+            inst = compact_instance_label(inst[inds])
+        return {"xyz": xyz, "rgb": rgb, "semantic": sem, "instance": inst}
+
+
+class STPLS3DSceneDataset(SceneDataset):
+    """stpls3d.py semantics: instance class = semantic - 1 (class 0 ignored)."""
+
+    CLASSES = ("building", "low vegetation", "med. vegetation",
+               "high vegetation", "vehicle", "truck", "aircraft",
+               "militaryVehicle", "bike", "motorcycle", "light pole",
+               "street sign", "clutter", "fence")
+
+    def __init__(self, *args, **kw):
+        kw.setdefault("cls_offset", 1)
+        super().__init__(*args, **kw)
+
+
+class KITTISceneDataset(SceneDataset):
+    """kitti.py semantics: raw velodyne ``.bin`` + ``.label`` pairs remapped
+    through ``semantic-kitti.yaml``'s learning_map with stuff 0-10 / thing
+    11-18 / ignore -100 (kitti.py:40-49); stuff points carry no instance
+    (kitti.py:69-73); instance class = semantic - 11.
+
+    NB the semantic space spans 19 classes — configure ``num_primitives=19``
+    (the default 7 cannot represent the thing classes)."""
+
+    STUFF = ("road", "parking", "sidewalk", "otherground", "building",
+             "fence", "vegetation", "trunk", "terrain", "pole",
+             "traffic-sign")
+    THING = ("car", "bicycle", "motorcycle", "truck", "other-vehicle",
+             "person", "bicyclist", "motorcyclist")
+    CLASSES = THING
+
+    def __init__(self, data_root: str, prefix: str, suffix: str, cfg: Config,
+                 **kw):
+        import yaml
+
+        kw.setdefault("cls_offset", 11)
+        with open(os.path.join(data_root, "semantic-kitti.yaml")) as f:
+            sk = yaml.safe_load(f)
+        self._split = sk["split"][
+            {"train": "train", "val": "valid", "test": "test"}[prefix]]
+        lm = {}
+        for k, v in sk["learning_map"].items():           # kitti.py:40-49
+            lm[k] = -100 if v == 0 else (v + 10 if v < 9 else v - 9)
+        self._learning_map = lm
+        super().__init__(data_root, prefix, suffix, cfg, **kw)
+
+    def collect_filenames(self, data_root, prefix, suffix) -> List[str]:
+        files: List[str] = []                              # kitti.py:52-61
+        for p in self._split:
+            files.extend(_glob.glob(os.path.join(
+                data_root, "sequences", f"{int(p):02d}", "velodyne",
+                "*" + suffix)))
+        return files
+
+    def load(self, path: str) -> Dict[str, np.ndarray]:
+        data = np.fromfile(path, np.float32).reshape(-1, 4)
+        xyz, refl = data[:, :3], data[:, 3:]
+        if self.with_label:
+            label = np.fromfile(
+                path.replace("velodyne", "labels").replace("bin", "label"),
+                np.int32)
+            sem = np.vectorize(self._learning_map.__getitem__)(label & 0xFFFF)
+            inst = label.copy()
+            inst[sem <= 10] = -100                         # stuff: no instance
+            inst = compact_instance_label(inst)
+        else:
+            sem = np.zeros(xyz.shape[0], np.int32)
+            inst = np.zeros(xyz.shape[0], np.int32)
+        return {"xyz": xyz, "rgb": refl, "semantic": sem, "instance": inst}

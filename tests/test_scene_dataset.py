@@ -125,3 +125,75 @@ def test_feeds_scene_model(scene_root):
         {"params": rng}, batch["xyz"], batch["feats"], train=True, rng=rng)
     assert out.semantic_scores.shape == (512, cfg.num_primitives)
     assert np.isfinite(np.asarray(out.semantic_scores)).all()
+
+
+def test_s3dis_variant(tmp_path):
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    for area in ("Area_1", "Area_2"):
+        xyz = rng.rand(400, 3).astype(np.float32)
+        rgb = rng.rand(400, 3).astype(np.float32)
+        sem = np.full(400, 7.0, np.float32)          # 'chair'
+        inst = np.zeros(400, np.float32)
+        torch.save((xyz, rgb, sem, inst, None, None),
+                   tmp_path / f"{area}_office1.pth")
+    cfg = _cfg()
+    ds = sd.S3DISSceneDataset(str(tmp_path), ["Area_1", "Area_2"], ".pth",
+                              cfg, training=False)
+    assert len(ds) == 2
+    item = ds.get(0, np.random.RandomState(0))
+    # no class shift on s3dis: instance class == semantic label
+    assert item["inst_cls"][0] == 7
+
+    ds4 = sd.S3DISSceneDataset(str(tmp_path), "Area_1", ".pth", cfg,
+                               training=True, x4_split=True,
+                               max_npoint=10000, min_npoint=10)
+    item4 = ds4.get(0, np.random.RandomState(0))
+    assert item4["xyz"].shape == (256, 3)
+
+
+def test_stpls3d_class_shift(tmp_path):
+    d = tmp_path / "train"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    np.savez(d / "scene.npz", xyz=rng.rand(300, 3).astype(np.float32),
+             rgb=rng.rand(300, 3).astype(np.float32),
+             semantic=np.full(300, 4.0, np.float32),   # 'vehicle'
+             instance=np.zeros(300, np.float32))
+    cfg = _cfg()
+    ds = sd.STPLS3DSceneDataset(str(tmp_path), "train", ".npz", cfg,
+                                training=False)
+    item = ds.get(0, np.random.RandomState(0))
+    assert item["inst_cls"][0] == 3                    # semantic - 1
+
+
+def test_kitti_variant(tmp_path):
+    yaml = pytest.importorskip("yaml")
+    seq = tmp_path / "sequences" / "00"
+    (seq / "velodyne").mkdir(parents=True)
+    (seq / "labels").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    pts = np.concatenate([rng.rand(200, 3).astype(np.float32) * 10,
+                          rng.rand(200, 1).astype(np.float32)], 1)
+    pts.tofile(seq / "velodyne" / "000000.bin")
+    # raw 10 -> learned 9 (stuff -> 0); raw 40 -> learned 1 (thing -> 11);
+    # raw 0 -> ignore (-100).  kitti.py:40-49 remap.
+    raw = np.array([10] * 120 + [40] * 60 + [0] * 20, np.int32)
+    raw.tofile(seq / "labels" / "000000.label")
+    with open(tmp_path / "semantic-kitti.yaml", "w") as f:
+        yaml.safe_dump({
+            "split": {"train": [0], "valid": [0], "test": [0]},
+            "learning_map": {0: 0, 10: 9, 40: 1},
+            "learning_map_inv": {},
+        }, f)
+    cfg = _cfg()
+    ds = sd.KITTISceneDataset(str(tmp_path), "train", ".bin", cfg,
+                              training=False)
+    item = ds.get(0, np.random.RandomState(0))
+    assert set(np.unique(item["semantic"])) <= {-100, 0, 11}
+    # only thing points (learned 11) carry an instance; its class is sem-11=0
+    inst = item["instance"]
+    sem = item["semantic"]
+    assert (inst[sem == 0] == -100).all()             # stuff has no instance
+    assert (inst[sem == 11] >= 0).all()
+    assert item["inst_cls"][0] == 0
