@@ -26,6 +26,33 @@ def init_dist(coordinator: Optional[str] = None, num_processes: int = 1,
                                    process_id=process_id)
 
 
+def maybe_init_from_env() -> bool:
+    """Initialise multi-host jax from environment variables, mirroring the
+    reference's env-driven launch (softgroup/util/dist.py:20-37 reads
+    RANK/WORLD_SIZE/MASTER_ADDR set by the launcher).
+
+    Recognised: ``GCA_COORDINATOR`` (host:port), ``GCA_NUM_PROCESSES``,
+    ``GCA_PROCESS_ID``.  On Cloud TPU pods with no env set,
+    ``jax.distributed.initialize()``'s own auto-detection can be invoked with
+    ``GCA_DIST_AUTO=1``.  Returns True when an initialisation happened.
+    """
+    import os
+
+    if os.environ.get("GCA_DIST_AUTO") == "1":
+        jax.distributed.initialize()
+        return True
+    n = int(os.environ.get("GCA_NUM_PROCESSES", "1"))
+    if n > 1:
+        coordinator = os.environ.get("GCA_COORDINATOR")
+        if not coordinator:
+            raise ValueError(
+                "GCA_NUM_PROCESSES > 1 requires GCA_COORDINATOR=host:port "
+                "(and GCA_PROCESS_ID per process)")
+        init_dist(coordinator, n, int(os.environ.get("GCA_PROCESS_ID", "0")))
+        return True
+    return False
+
+
 def get_dist_info():
     """-> (rank, world_size) (softgroup/util/dist.py:40-48)."""
     return jax.process_index(), jax.process_count()

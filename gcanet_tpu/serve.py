@@ -68,7 +68,8 @@ class Predictor:
 
     def predict(self, xyz: np.ndarray, normals: np.ndarray,
                 return_masks: bool = False,
-                return_embedding: bool = False) -> Dict:
+                return_embedding: bool = False,
+                panoptic: bool = False) -> Dict:
         """xyz/normals [N, 3] (N must equal cfg.num_points) -> prediction dict
         with per-point types/params/offsets and extracted instances.
 
@@ -103,7 +104,7 @@ class Predictor:
             else:
                 merged = inst_utils.merge_masks(preds) if preds \
                     else np.zeros(n, np.int32)
-            return {
+            result = {
                 "type_per_point": tpp,
                 "param_per_point": ppp,
                 "pt_offsets": off,
@@ -111,6 +112,10 @@ class Predictor:
                 "instances": preds,
                 "instance_labels": merged,
             }
+            if panoptic:
+                result["panoptic"] = inst_utils.panoptic_fusion(
+                    tpp.argmax(-1), preds, self.cfg.num_primitives)
+            return result
 
         dev = self._forward_fast(self.state.params, self.state.batch_stats,
                                  jnp.asarray(xyz)[None],
@@ -131,7 +136,7 @@ class Predictor:
                     "pred_mask": inst_utils.rle_encode(merged == rank),
                 })
                 rank += 1
-        return {
+        result = {
             "type_per_point": tpp,
             "param_per_point": ppp,
             "pt_offsets": off,
@@ -139,3 +144,7 @@ class Predictor:
             "instances": preds,
             "instance_labels": merged,
         }
+        if panoptic:
+            result["panoptic"] = inst_utils.panoptic_fusion(
+                tpp.argmax(-1), preds, self.cfg.num_primitives)
+        return result

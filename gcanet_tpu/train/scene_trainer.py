@@ -153,7 +153,10 @@ class SceneTrainer(Trainer):
         class_ids = list(range(CLS_OFFSET, cfg.num_primitives + CLS_OFFSET))
         ap = instance_eval.evaluate_matches(scenes, class_ids) if scenes \
             else {"all_ap": 0.0, "all_ap_50%": 0.0, "all_ap_25%": 0.0}
+        pq = instance_eval.panoptic_quality(scenes, class_ids)["pq"] \
+            if scenes else 0.0
         avg = {k: v / max(cnt, 1) for k, v in sem_stats.items()}
+        avg["pq"] = pq
         avg.update({k: float(v) for k, v in ap.items()
                     if isinstance(v, (int, float))})
         self._write_results_csv(epoch, avg)

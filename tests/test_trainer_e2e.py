@@ -59,6 +59,19 @@ def test_predictor(tmp_path):
     assert out["type_per_point"].shape == (cfg.num_points, cfg.num_primitives)
     assert out["instance_labels"].shape == (cfg.num_points,)
     assert np.isfinite(out["param_per_point"]).all()
+    assert out["embedding"] is None                  # fast path skips the fetch
+
+    # panoptic fusion surface (dgcnn-4.py:1001-1037): packed cls | id<<16
+    out_p = pred.predict(obj["gt_pc"], obj["gt_normal"], panoptic=True)
+    pan = out_p["panoptic"]
+    assert pan.shape == (cfg.num_points,)
+    assert pan.dtype == np.uint32
+    ids = pan >> 16
+    assert (ids[ids > 0] <= len(out_p["instances"])).all()
+
+    # embedding fetched on request
+    out_e = pred.predict(obj["gt_pc"], obj["gt_normal"], return_embedding=True)
+    assert out_e["embedding"].shape == (cfg.num_points, cfg.out_dim)
 
 
 def test_predictor_meanshift_mode(tmp_path):

@@ -10,6 +10,9 @@ from option_new import build_option
 
 def main():
     enable_compilation_cache()
+    from gcanet_tpu.parallel.dist import maybe_init_from_env
+
+    maybe_init_from_env()       # multi-host launch via GCA_* env (no-op solo)
     cfg = build_option()
     from gcanet_tpu.models.registry import is_scene_model
 
