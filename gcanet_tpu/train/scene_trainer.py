@@ -66,23 +66,59 @@ class SceneTrainer(Trainer):
 
     # ------------------------------------------------------------------- data
     def build_dataloaders(self):
+        """``--dataset`` selects the variant (reference: the per-dataset
+        config files of softgroup/data); default/'ABC'/'scannetv2' use the
+        ScanNet-convention base reader."""
         cfg = self.cfg
-        from gcanet_tpu.data.scene_dataset import SceneDataset
+        from gcanet_tpu.data import scene_dataset as sdm
 
-        train_dir = os.path.join(cfg.data_path, "train")
-        if os.path.isdir(train_dir):
-            suffix = SCENE_SUFFIX if any(
-                f.endswith(SCENE_SUFFIX) for f in os.listdir(train_dir)) \
-                else ".npz"
-            self.train_data = SceneDataset(cfg.data_path, "train", suffix,
-                                           cfg, training=True)
-            val_prefix = "val" if os.path.isdir(
-                os.path.join(cfg.data_path, "val")) else "train"
-            self.test_data = SceneDataset(cfg.data_path, val_prefix, suffix,
-                                          cfg, training=False)
+        name = (cfg.dataset or "").lower()
+        if name in ("s3dis",):
+            cls, train_prefix, val_prefix = sdm.S3DISSceneDataset, \
+                ["Area_1", "Area_2", "Area_3", "Area_4", "Area_6"], ["Area_5"]
+            probe = cfg.data_path
+        elif name in ("stpls3d",):
+            cls, train_prefix, val_prefix = \
+                sdm.STPLS3DSceneDataset, "train", "val"
+            probe = os.path.join(cfg.data_path, "train")
+        elif name in ("kitti", "semantic-kitti"):
+            cls, train_prefix, val_prefix = \
+                sdm.KITTISceneDataset, "train", "val"
+            probe = os.path.join(cfg.data_path, "sequences")
         else:
-            print(f"scene dir {train_dir} not found -> synthetic scenes")
+            cls, train_prefix, val_prefix = \
+                sdm.ScanNetSceneDataset, "train", "val"
+            probe = os.path.join(cfg.data_path, "train")
+
+        if os.path.isdir(probe):
+            suffix = self._detect_suffix(cls, probe)
+            self.train_data = cls(cfg.data_path, train_prefix, suffix, cfg,
+                                  training=True)
+            if isinstance(val_prefix, str) and not os.path.isdir(
+                    os.path.join(cfg.data_path, val_prefix)) \
+                    and cls is not sdm.KITTISceneDataset:
+                val_prefix = train_prefix
+            self.test_data = cls(cfg.data_path, val_prefix, suffix, cfg,
+                                 training=False)
+        else:
+            print(f"scene data {probe} not found -> synthetic scenes")
             self.train_data = self.test_data = None
+
+    @staticmethod
+    def _detect_suffix(cls, probe_dir: str) -> str:
+        from gcanet_tpu.data import scene_dataset as sdm
+
+        if cls is sdm.KITTISceneDataset:
+            return ".bin"
+        try:
+            files = os.listdir(probe_dir)
+        except OSError:
+            files = []
+        if any(f.endswith(SCENE_SUFFIX) for f in files):
+            return SCENE_SUFFIX
+        if any(f.endswith(".pth") for f in files):
+            return ".pth"
+        return ".npz"
 
     def _train_batches(self, epoch: int):
         cfg = self.cfg

@@ -53,3 +53,46 @@ def test_registry_scene_detection():
     assert is_scene_model("gcanet_tpu.models.softgroup_scene")
     assert not is_scene_model("models.dgcnn-hais-concat-direct-4")
     assert not is_scene_model("no.such.model")
+
+
+def test_dataset_flag_selects_variant(tmp_path):
+    import torch
+
+    from gcanet_tpu.data import scene_dataset as sdm
+    from gcanet_tpu.train.scene_trainer import SceneTrainer
+
+    rng = np.random.RandomState(0)
+    n = 6000                       # above the default min_npoint crop floor
+    for area in ("Area_1", "Area_2", "Area_3", "Area_4", "Area_5", "Area_6"):
+        torch.save((rng.rand(n, 3).astype(np.float32),
+                    rng.rand(n, 3).astype(np.float32),
+                    np.full(n, 7.0, np.float32),
+                    np.zeros(n, np.float32), 0, 0),
+                   tmp_path / f"{area}_office.pth")
+    cfg = _cfg(str(tmp_path / "logdir")).replace(dataset="s3dis",
+                                                 data_path=str(tmp_path))
+    tr = SceneTrainer(cfg)
+    tr.build_dataloaders()
+    assert isinstance(tr.train_data, sdm.S3DISSceneDataset)
+    assert len(tr.train_data) == 5           # areas 1-4 + 6
+    assert len(tr.test_data) == 1            # area 5
+    batch = next(tr.train_data.batches(2, shuffle=False, seed=0))
+    assert batch["xyz"].shape == (2, cfg.num_points, 3)
+
+
+def test_dataset_flag_unknown_falls_back_to_scannet(tmp_path):
+    from gcanet_tpu.data import scene_dataset as sdm
+    from gcanet_tpu.train.scene_trainer import SceneTrainer
+
+    d = tmp_path / "train"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    np.savez(d / "s.npz", xyz=rng.rand(300, 3).astype(np.float32),
+             rgb=rng.rand(300, 3).astype(np.float32),
+             semantic=np.full(300, 5.0, np.float32),
+             instance=np.zeros(300, np.float32))
+    cfg = _cfg(str(tmp_path / "logdir")).replace(dataset="ABC",
+                                                 data_path=str(tmp_path))
+    tr = SceneTrainer(cfg)
+    tr.build_dataloaders()
+    assert isinstance(tr.train_data, sdm.ScanNetSceneDataset)
