@@ -66,6 +66,20 @@ class Predictor:
 
         self._forward_fast = _forward_fast
 
+        @jax.jit
+        def _forward_fast_batch(params, batch_stats, xyz, normals):
+            out = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                xyz, normals, train=False, rng=jax.random.PRNGKey(0))
+            merged, keep, conf, npoint = inst_utils.merged_labels_device(
+                out.proposals.point_pid, out.instance.cls_scores,
+                out.instance.iou_scores, out.instance.mask_scores,
+                out.proposals.valid, self.cfg.num_primitives)
+            return (merged, keep, conf, npoint, out.proposals.batch,
+                    out.type_per_point, out.param_per_point, out.pt_offsets)
+
+        self._forward_fast_batch = _forward_fast_batch
+
     def predict(self, xyz: np.ndarray, normals: np.ndarray,
                 return_masks: bool = False,
                 return_embedding: bool = False,
@@ -148,3 +162,60 @@ class Predictor:
             result["panoptic"] = inst_utils.panoptic_fusion(
                 tpp.argmax(-1), preds, self.cfg.num_primitives)
         return result
+
+    def predict_batch(self, xyz: np.ndarray, normals: np.ndarray):
+        """Batched fast-path inference: ``xyz/normals [B, N, 3]`` -> list of
+        per-cloud prediction dicts.
+
+        Batching amortises the per-dispatch latency that dominates batch-1
+        serving (BASELINE.md: 41.5 clouds/s forward at batch 8 vs 6.6 full
+        predict at batch 1 on the tunnelled link).  Proposals are extracted
+        on device over the whole batch (the proposal table carries its batch
+        item, ops/grouping.py Proposals.batch) and split per cloud on host;
+        per-cloud instance labels are re-compacted to local 0..K-1 ids.
+        """
+        if np.ndim(xyz) != 3:
+            raise ValueError(
+                f"predict_batch expects xyz [B, N, 3]; got shape "
+                f"{np.shape(xyz)} — use predict() for a single [N, 3] cloud")
+        b, n, _ = xyz.shape
+        (merged, keep, conf, npoint, prop_batch, tpp, ppp,
+         off) = jax.device_get(
+            self._forward_fast_batch(
+                self.state.params, self.state.batch_stats,
+                jnp.asarray(xyz), jnp.asarray(normals)))
+        merged = merged.reshape(b, n)
+        off = off.reshape(b, n, 3)
+        ci = self.cfg.num_primitives
+
+        # global rank of each kept (class, proposal) pair — mirrors
+        # merged_labels_device's ordering
+        results = []
+        rank_of = -np.ones(keep.shape, np.int64)
+        rank_of.T[keep.T] = np.arange(int(keep.sum()))
+        for bi in range(b):
+            preds = []
+            local = np.zeros(n, np.int32)
+            next_id = 0
+            for i in range(ci):
+                for p in np.nonzero(keep[:, i] & (prop_batch == bi))[0]:
+                    mask = merged[bi] == rank_of[p, i]
+                    if not mask.any():
+                        continue
+                    local[mask] = next_id
+                    preds.append({
+                        "label_id": i + 1,
+                        "conf": float(conf[p, i]),
+                        "npoint": int(npoint[p, i]),
+                        "pred_mask": inst_utils.rle_encode(mask),
+                    })
+                    next_id += 1
+            results.append({
+                "type_per_point": tpp[bi],
+                "param_per_point": ppp[bi],
+                "pt_offsets": off[bi],
+                "embedding": None,
+                "instances": preds,
+                "instance_labels": local,
+            })
+        return results

@@ -94,3 +94,34 @@ def test_scalar_logger_histogram(tmp_path):
     lg.log_histogram("grads", np.random.RandomState(0).randn(1000), step=3)
     rec = _json.loads(open(lg.path).read().strip())
     assert rec["histogram"] == "grads" and len(rec["counts"]) == 16
+
+
+def test_predictor_batch(tmp_path):
+    from gcanet_tpu.data.synthetic import synth_object
+    from gcanet_tpu.serve import Predictor
+
+    cfg = tiny_cfg(str(tmp_path), batch_size=2)
+    pred = Predictor(cfg)
+    rng = np.random.RandomState(3)
+    a, b = synth_object(cfg, rng), synth_object(cfg, rng)
+    xyz = np.stack([a["gt_pc"], b["gt_pc"]])
+    nrm = np.stack([a["gt_normal"], b["gt_normal"]])
+    outs = pred.predict_batch(xyz, nrm)
+    assert len(outs) == 2
+    for o in outs:
+        assert o["type_per_point"].shape == (cfg.num_points, cfg.num_primitives)
+        assert o["instance_labels"].shape == (cfg.num_points,)
+        assert o["pt_offsets"].shape == (cfg.num_points, 3)
+        # local instance ids are compact 0..K
+        ids = np.unique(o["instance_labels"])
+        assert ids.max() + 1 >= len(ids) - (0 in ids)
+        # every listed instance's mask points carry its local id count
+        for k, inst in enumerate(o["instances"]):
+            assert inst["pred_mask"]["length"] == cfg.num_points
+
+    # identical clouds in one batch -> identical outputs
+    outs2 = pred.predict_batch(np.stack([a["gt_pc"], a["gt_pc"]]),
+                               np.stack([a["gt_normal"], a["gt_normal"]]))
+    np.testing.assert_array_equal(outs2[0]["instance_labels"],
+                                  outs2[1]["instance_labels"])
+    assert len(outs2[0]["instances"]) == len(outs2[1]["instances"])
