@@ -54,16 +54,21 @@ def pairwise_dist_points_normals(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # Per-neighbour recall of the approximate search.  Measured on v5e at
-# N=8192, k=80: target 0.9 -> actual recall 0.967 at 14 ms/call vs 0.985 at
-# 29 ms (target 0.95) and exact top_k at 187 ms.  The consumers max-pool over
-# the neighbourhood, so a few percent of swapped near-neighbours is noise.
-APPROX_RECALL_TARGET = 0.9
+# N=8192, k=80 (B=8): target 0.95 -> recall 0.987 at 49 ms/call, 0.9 ->
+# 0.968 at 21 ms, 0.8 -> 0.933 at 10 ms, 0.7 -> 0.863 at 7 ms; exact top_k
+# 187 ms.  The consumers max-pool over the neighbourhood, so a few percent
+# of swapped near-neighbours is noise.  Default 0.8: production-size
+# convergence is indistinguishable from 0.9 (mIoU 0.92 / type-mIoU 1.00 at
+# step 1000, docs/production_convergence_r08.log) and the step is ~6%
+# faster.  Encode a custom target in the impl string: ``approx:0.9``.
+APPROX_RECALL_TARGET = 0.8
 
 
 def _topk_neighbors(neg_dist: jnp.ndarray, k: int, impl: str) -> jnp.ndarray:
-    if impl == "approx":
-        _, idx = jax.lax.approx_max_k(neg_dist, k,
-                                      recall_target=APPROX_RECALL_TARGET)
+    if impl.startswith("approx"):
+        target = float(impl.split(":", 1)[1]) if ":" in impl \
+            else APPROX_RECALL_TARGET
+        _, idx = jax.lax.approx_max_k(neg_dist, k, recall_target=target)
     else:
         _, idx = jax.lax.top_k(neg_dist, k)
     return idx
