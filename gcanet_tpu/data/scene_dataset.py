@@ -130,7 +130,10 @@ def instance_info(xyz: np.ndarray, instance_label: np.ndarray,
         pt_mean[mask] = pts.mean(0)
         pointnum[i] = int(mask.sum())
         c = int(semantic_label[np.argmax(mask)])
-        inst_cls[i] = c - cls_offset if c >= 0 else -100
+        # semantic classes below the offset (stuff/background on this
+        # dataset) carry no instance class: mark ignore, never negative —
+        # a negative label would index the classifier logits wrapped
+        inst_cls[i] = c - cls_offset if c >= cls_offset else -100
     offsets = pt_mean - xyz
     return inst_num, pointnum, inst_cls, offsets
 
@@ -246,15 +249,18 @@ class SceneDataset:
         xyz, xyz_mid, rgb = xyz[sub], xyz_mid[sub], rgb[sub]
         sem, inst = sem[sub], compact_instance_label(inst[sub])
 
-        inst_num, pointnum, inst_cls, offsets = instance_info(
-            xyz_mid, inst, sem, self.cfg.max_instances, self.cls_offset)
-
         if self.training:
             rgb = rgb + rng.randn(rgb.shape[1]).astype(np.float32) * 0.1
 
-        # unit-cube coords for the dense scene grid
+        # unit-cube coords for the dense scene grid.  Offset labels are
+        # computed in THIS frame: the model clusters on
+        # ``xyz_unit + pt_offsets`` (softgroup_scene.py), so meter-frame
+        # labels would be scene-span-times too large.
         span = np.maximum(xyz.max(0) - xyz.min(0), 1e-6)
         xyz_unit = (xyz - xyz.min(0)) / span.max()
+        inst_num, pointnum, inst_cls, offsets = instance_info(
+            xyz_unit.astype(np.float32), inst, sem, self.cfg.max_instances,
+            self.cls_offset)
 
         return {
             "index": scan_id,
@@ -287,30 +293,38 @@ class SceneDataset:
 
     def collate(self, items: List[Dict[str, np.ndarray]]
                 ) -> Dict[str, np.ndarray]:
-        """[B, N, ...] fixed-shape batch + batch-global instance tables (the
-        same layout the ABC collate emits, so the loss stack is shared)."""
-        b, i_max = len(items), self.cfg.max_instances
-        batch = {k: np.stack([it[k] for it in items])
-                 for k in ("xyz", "coords_float", "feats", "semantic",
-                           "instance", "pt_offset_label")}
-        pointnum = np.zeros((b * i_max,), np.int32)
-        inst_cls = np.full((b * i_max,), -100, np.int32)
-        inst_valid = np.zeros((b * i_max,), bool)
-        i_gt_global = np.full((b, self.cfg.num_points), -1, np.int32)
-        for bi, it in enumerate(items):
-            k = min(it["inst_num"], i_max)
-            pointnum[bi * i_max: bi * i_max + k] = it["inst_pointnum"][:k]
-            inst_cls[bi * i_max: bi * i_max + k] = it["inst_cls"][:k]
-            inst_valid[bi * i_max: bi * i_max + k] = it["inst_pointnum"][:k] > 0
-            lbl = it["instance"]
-            ok = (lbl >= 0) & (lbl < i_max)
-            i_gt_global[bi][ok] = lbl[ok] + bi * i_max
-        batch["instance_pointnum"] = pointnum
-        batch["instance_cls"] = inst_cls
-        batch["inst_valid"] = inst_valid
-        batch["I_gt_global"] = i_gt_global
-        batch["index"] = [it["index"] for it in items]
-        return batch
+        return collate_scene(items, self.cfg)
+
+
+def collate_scene(items: List[Dict[str, np.ndarray]], cfg: Config
+                  ) -> Dict[str, np.ndarray]:
+    """[B, N, ...] fixed-shape batch + batch-global instance tables (the
+    same layout the ABC collate emits, so the loss stack is shared)."""
+    b, i_max = len(items), cfg.max_instances
+    # coords_float (original meter frame) stays host-side per item —
+    # nothing on device consumes it, and [B, N, 3] per batch is real
+    # transfer time on a slow link
+    batch = {k: np.stack([it[k] for it in items])
+             for k in ("xyz", "feats", "semantic",
+                       "instance", "pt_offset_label")}
+    pointnum = np.zeros((b * i_max,), np.int32)
+    inst_cls = np.full((b * i_max,), -100, np.int32)
+    inst_valid = np.zeros((b * i_max,), bool)
+    i_gt_global = np.full((b, cfg.num_points), -1, np.int32)
+    for bi, it in enumerate(items):
+        k = min(it["inst_num"], i_max)
+        pointnum[bi * i_max: bi * i_max + k] = it["inst_pointnum"][:k]
+        inst_cls[bi * i_max: bi * i_max + k] = it["inst_cls"][:k]
+        inst_valid[bi * i_max: bi * i_max + k] = it["inst_pointnum"][:k] > 0
+        lbl = it["instance"]
+        ok = (lbl >= 0) & (lbl < i_max)
+        i_gt_global[bi][ok] = lbl[ok] + bi * i_max
+    batch["instance_pointnum"] = pointnum
+    batch["instance_cls"] = inst_cls
+    batch["inst_valid"] = inst_valid
+    batch["I_gt_global"] = i_gt_global
+    batch["index"] = [it["index"] for it in items]
+    return batch
 
 
 SCANNET_CLASSES = (
@@ -421,9 +435,12 @@ class KITTISceneDataset(SceneDataset):
         data = np.fromfile(path, np.float32).reshape(-1, 4)
         xyz, refl = data[:, :3], data[:, 3:]
         if self.with_label:
-            label = np.fromfile(
-                path.replace("velodyne", "labels").replace("bin", "label"),
-                np.int32)
+            # replace only the trailing velodyne dir + .bin suffix — a naive
+            # substring replace corrupts data roots containing "bin"/"velodyne"
+            d, fname = os.path.split(path)
+            label_path = os.path.join(os.path.dirname(d), "labels",
+                                      fname[:-len(".bin")] + ".label")
+            label = np.fromfile(label_path, np.int32)
             sem = np.vectorize(self._learning_map.__getitem__)(label & 0xFFFF)
             inst = label.copy()
             inst[sem <= 10] = -100                         # stuff: no instance

@@ -172,10 +172,8 @@ def synth_scene(cfg: Config, rng: np.random.RandomState,
 
 def synth_scene_batch(cfg: Config, batch_size: int, seed: int = 0
                       ) -> Dict[str, np.ndarray]:
-    from gcanet_tpu.data import scene_dataset as sd
+    from gcanet_tpu.data.scene_dataset import collate_scene
 
     rng = np.random.RandomState(seed)
-    items = [synth_scene(cfg, rng) for _ in range(batch_size)]
-    ds = sd.SceneDataset.__new__(sd.SceneDataset)
-    ds.cfg = cfg
-    return ds.collate(items)
+    return collate_scene([synth_scene(cfg, rng) for _ in range(batch_size)],
+                         cfg)

@@ -53,32 +53,21 @@ class Predictor:
             # forward + on-device instance extraction: on the tunnelled TPU
             # the device->host fetch is the serving bottleneck (~31 MB/s
             # measured; [CH, N, C] mask scores alone are several hundred ms),
-            # so only the merged labels + a [P, CI] table leave the device
+            # so only the merged labels + a [P, CI] table leave the device.
+            # Shared by the single and batched fast paths (batch = 1 there).
             out = self.model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 xyz, normals, train=False, rng=jax.random.PRNGKey(0))
-            merged, keep, conf, npoint = inst_utils.merged_labels_device(
-                out.proposals.point_pid, out.instance.cls_scores,
-                out.instance.iou_scores, out.instance.mask_scores,
-                out.proposals.valid, self.cfg.num_primitives)
-            return (merged, keep, conf, npoint, out.type_per_point[0],
-                    out.param_per_point[0], out.pt_offsets, out.embedding[0])
+            merged, keep, conf, npoint, covered = \
+                inst_utils.merged_labels_device(
+                    out.proposals.point_pid, out.instance.cls_scores,
+                    out.instance.iou_scores, out.instance.mask_scores,
+                    out.proposals.valid, self.cfg.num_primitives)
+            return (merged, keep, conf, npoint, covered,
+                    out.proposals.batch, out.type_per_point,
+                    out.param_per_point, out.pt_offsets, out.embedding)
 
         self._forward_fast = _forward_fast
-
-        @jax.jit
-        def _forward_fast_batch(params, batch_stats, xyz, normals):
-            out = self.model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                xyz, normals, train=False, rng=jax.random.PRNGKey(0))
-            merged, keep, conf, npoint = inst_utils.merged_labels_device(
-                out.proposals.point_pid, out.instance.cls_scores,
-                out.instance.iou_scores, out.instance.mask_scores,
-                out.proposals.valid, self.cfg.num_primitives)
-            return (merged, keep, conf, npoint, out.proposals.batch,
-                    out.type_per_point, out.param_per_point, out.pt_offsets)
-
-        self._forward_fast_batch = _forward_fast_batch
 
     def predict(self, xyz: np.ndarray, normals: np.ndarray,
                 return_masks: bool = False,
@@ -137,22 +126,13 @@ class Predictor:
         if not return_embedding:
             dev = dev[:-1]
         fetched = jax.device_get(dev)
-        merged, keep, conf, npoint, tpp, ppp, off = fetched[:7]
-        emb = fetched[7] if return_embedding else None
-        preds = []
-        rank = 0
-        for i in range(self.cfg.num_primitives):
-            for p in np.nonzero(keep[:, i])[0]:
-                preds.append({
-                    "label_id": i + 1,
-                    "conf": float(conf[p, i]),
-                    "npoint": int(npoint[p, i]),
-                    "pred_mask": inst_utils.rle_encode(merged == rank),
-                })
-                rank += 1
+        merged, keep, conf, npoint, covered, _, tpp, ppp, off = fetched[:9]
+        emb = fetched[9][0] if return_embedding else None
+        preds = inst_utils.instances_from_merged(merged, keep, conf, npoint,
+                                                 covered)
         result = {
-            "type_per_point": tpp,
-            "param_per_point": ppp,
+            "type_per_point": tpp[0],
+            "param_per_point": ppp[0],
             "pt_offsets": off,
             "embedding": emb,
             "instances": preds,
@@ -160,7 +140,7 @@ class Predictor:
         }
         if panoptic:
             result["panoptic"] = inst_utils.panoptic_fusion(
-                tpp.argmax(-1), preds, self.cfg.num_primitives)
+                tpp[0].argmax(-1), preds, self.cfg.num_primitives)
         return result
 
     def predict_batch(self, xyz: np.ndarray, normals: np.ndarray):
@@ -179,37 +159,24 @@ class Predictor:
                 f"predict_batch expects xyz [B, N, 3]; got shape "
                 f"{np.shape(xyz)} — use predict() for a single [N, 3] cloud")
         b, n, _ = xyz.shape
-        (merged, keep, conf, npoint, prop_batch, tpp, ppp,
-         off) = jax.device_get(
-            self._forward_fast_batch(
-                self.state.params, self.state.batch_stats,
-                jnp.asarray(xyz), jnp.asarray(normals)))
+        dev = self._forward_fast(self.state.params, self.state.batch_stats,
+                                 jnp.asarray(xyz), jnp.asarray(normals))
+        (merged, keep, conf, npoint, covered, prop_batch, tpp, ppp,
+         off) = jax.device_get(dev[:-1])          # embedding not fetched
         merged = merged.reshape(b, n)
+        covered = covered.reshape(b, n)
         off = off.reshape(b, n, 3)
-        ci = self.cfg.num_primitives
 
-        # global rank of each kept (class, proposal) pair — mirrors
-        # merged_labels_device's ordering
         results = []
-        rank_of = -np.ones(keep.shape, np.int64)
-        rank_of.T[keep.T] = np.arange(int(keep.sum()))
         for bi in range(b):
-            preds = []
+            preds = inst_utils.instances_from_merged(
+                merged[bi], keep, conf, npoint, covered[bi],
+                prop_mask=(prop_batch == bi))
+            # per-cloud labels re-compacted to local 0..K-1 (0 = unassigned)
             local = np.zeros(n, np.int32)
-            next_id = 0
-            for i in range(ci):
-                for p in np.nonzero(keep[:, i] & (prop_batch == bi))[0]:
-                    mask = merged[bi] == rank_of[p, i]
-                    if not mask.any():
-                        continue
-                    local[mask] = next_id
-                    preds.append({
-                        "label_id": i + 1,
-                        "conf": float(conf[p, i]),
-                        "npoint": int(npoint[p, i]),
-                        "pred_mask": inst_utils.rle_encode(mask),
-                    })
-                    next_id += 1
+            for local_id, inst in enumerate(preds):
+                local[inst_utils.rle_decode(inst["pred_mask"]).astype(bool)] \
+                    = local_id
             results.append({
                 "type_per_point": tpp[bi],
                 "param_per_point": ppp[bi],

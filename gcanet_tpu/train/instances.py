@@ -90,8 +90,12 @@ def merged_labels_device(point_pid: jnp.ndarray,      # [CH, N] int32
     transfer per cloud.
 
     Returns ``(merged [N] int32, keep [P, CI] bool, conf [P, CI] f32,
-    npoint [P, CI] int32)``; the kept-instance list order used by ``merged``
-    is ``rank = cumsum(keep.T.ravel()) - 1``.
+    npoint [P, CI] int32, covered [N] bool)``; the kept-instance list order
+    used by ``merged`` is ``rank = cumsum(keep.T.ravel()) - 1``.  NB
+    ``merged`` is 0 both for rank-0 points and for points covered by no kept
+    instance (host ``masks.argmax(0)`` parity) — reconstructing instance
+    masks from ``merged`` requires ``(merged == rank) & covered`` or the
+    rank-0 mask absorbs every unassigned point.
     """
     ch, n = point_pid.shape
     p, _ = cls_scores.shape
@@ -129,10 +133,47 @@ def merged_labels_device(point_pid: jnp.ndarray,      # [CH, N] int32
 
     rank = jnp.cumsum(keep.T.reshape(-1)) - 1                      # [CI*P]
     rank = jnp.concatenate([rank, jnp.zeros((big - ci * p,), rank.dtype)])
-    merged = jnp.where(min_key < ci * p, rank[jnp.minimum(min_key, ci * p)], 0)
+    covered = min_key < ci * p
+    merged = jnp.where(covered, rank[jnp.minimum(min_key, ci * p)], 0)
 
     conf = cls_soft * jnp.clip(iou_scores[:, :ci], 0, 1)
-    return merged.astype(jnp.int32), keep, conf, npoint
+    return merged.astype(jnp.int32), keep, conf, npoint, covered
+
+
+def instances_from_merged(merged: np.ndarray,      # [N] ranks (0 = also bg)
+                          keep: np.ndarray,        # [P, CI] bool
+                          conf: np.ndarray,        # [P, CI]
+                          npoint: np.ndarray,      # [P, CI]
+                          covered: np.ndarray,     # [N] bool
+                          prop_mask: np.ndarray | None = None,  # [P] item filter
+                          label_offset: int = 1,
+                          encode_rle: bool = True) -> List[Dict]:
+    """Host-side instance list from ``merged_labels_device`` outputs.
+
+    One definition of the class-major/proposal-minor rank order shared by
+    serving (single + batched) and scene evaluation — the rank here MUST
+    match ``cumsum(keep.T.ravel()) - 1`` inside merged_labels_device.
+    ``label_offset`` maps instance-class column ``i`` to the emitted
+    ``label_id`` (1-based for the ABC serving surface, dataset ``cls_offset``
+    for scene AP against semantic GT).
+    """
+    p, ci = keep.shape
+    rank_of = -np.ones((p, ci), np.int64)
+    rank_of.T[keep.T] = np.arange(int(keep.sum()))
+    preds: List[Dict] = []
+    for i in range(ci):
+        for pp in np.nonzero(keep[:, i])[0]:
+            if prop_mask is not None and not prop_mask[pp]:
+                continue
+            mask = (merged == rank_of[pp, i]) & covered
+            preds.append({
+                "label_id": i + label_offset,
+                "conf": float(conf[pp, i]),
+                "npoint": int(npoint[pp, i]),
+                "pred_mask" if encode_rle else "mask":
+                    rle_encode(mask) if encode_rle else mask,
+            })
+    return preds
 
 
 def merge_masks(instances: List[Dict]) -> np.ndarray:

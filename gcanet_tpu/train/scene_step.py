@@ -76,6 +76,13 @@ def make_scene_train_step(cfg: Config, model, tx, mesh: Mesh | None = None):
 
     def local_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
+        if mesh is not None:
+            # rebase batch-global instance ids to this shard's local table
+            # (see train/step.py::local_step for the failure mode)
+            base = (jax.lax.axis_index("data")
+                    * batch["instance_pointnum"].shape[0])
+            ig = batch["I_gt_global"]
+            batch = dict(batch, I_gt_global=jnp.where(ig >= 0, ig - base, -1))
         (total, (ld, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
         if mesh is not None:

@@ -31,6 +31,10 @@ CLS_OFFSET = 2                              # scannetv2.py:23-27
 
 
 class SceneTrainer(Trainer):
+    # instance-class -> semantic-label offset of the active dataset variant
+    # (scannetv2 default; set per variant in build_dataloaders)
+    cls_offset = CLS_OFFSET
+
     def build_model_optimizer(self):
         cfg = self.cfg
         from gcanet_tpu.models.registry import build_model
@@ -52,12 +56,13 @@ class SceneTrainer(Trainer):
             out = model.apply({"params": params, "batch_stats": batch_stats},
                               xyz, feats, train=False,
                               rng=jax.random.PRNGKey(0))
-            merged, keep, conf, _ = inst_utils.merged_labels_device(
-                out.proposals.point_pid, out.instance.cls_scores,
-                out.instance.iou_scores, out.instance.mask_scores,
-                out.proposals.valid, cfg.num_primitives)
+            merged, keep, conf, npoint, covered = \
+                inst_utils.merged_labels_device(
+                    out.proposals.point_pid, out.instance.cls_scores,
+                    out.instance.iou_scores, out.instance.mask_scores,
+                    out.proposals.valid, cfg.num_primitives)
             sem_pred = jnp.argmax(out.semantic_scores, axis=-1)
-            return merged, keep, conf, sem_pred
+            return merged, keep, conf, npoint, covered, sem_pred
 
         self.eval_step = eval_step
         self.start_epoch = 0
@@ -77,18 +82,22 @@ class SceneTrainer(Trainer):
             cls, train_prefix, val_prefix = sdm.S3DISSceneDataset, \
                 ["Area_1", "Area_2", "Area_3", "Area_4", "Area_6"], ["Area_5"]
             probe = cfg.data_path
+            self.cls_offset = 0
         elif name in ("stpls3d",):
             cls, train_prefix, val_prefix = \
                 sdm.STPLS3DSceneDataset, "train", "val"
             probe = os.path.join(cfg.data_path, "train")
+            self.cls_offset = 1
         elif name in ("kitti", "semantic-kitti"):
             cls, train_prefix, val_prefix = \
                 sdm.KITTISceneDataset, "train", "val"
             probe = os.path.join(cfg.data_path, "sequences")
+            self.cls_offset = 11
         else:
             cls, train_prefix, val_prefix = \
                 sdm.ScanNetSceneDataset, "train", "val"
             probe = os.path.join(cfg.data_path, "train")
+            self.cls_offset = CLS_OFFSET
 
         if os.path.isdir(probe):
             suffix = self._detect_suffix(cls, probe)
@@ -153,14 +162,13 @@ class SceneTrainer(Trainer):
             xyz = jnp.asarray(batch["xyz"])
             feats = jnp.asarray(batch["feats"])
             try:
-                merged_d, keep_d, conf_d, sem_d = self.eval_step(
+                dev = self.eval_step(
                     self.state.params, self.state.batch_stats, xyz, feats)
             except Exception as e:                 # noqa: BLE001
                 self.logger.error(
                     f"error: {batch.get('index', ['?'])[0]}: {e}")
                 continue
-            merged, keep, conf, sem_pred = jax.device_get(
-                (merged_d, keep_d, conf_d, sem_d))
+            merged, keep, conf, npoint, covered, sem_pred = jax.device_get(dev)
             gt_sem = np.asarray(batch["semantic"][0])
             gt_inst = np.asarray(batch["instance"][0])
 
@@ -170,14 +178,14 @@ class SceneTrainer(Trainer):
             for k, v in pw.items():
                 sem_stats[k] = sem_stats.get(k, 0.0) + v
 
-            preds = []
-            rank = 0
-            for i in range(cfg.num_primitives):
-                for p in np.nonzero(keep[:, i])[0]:
-                    preds.append({"label_id": i + CLS_OFFSET,
-                                  "conf": float(conf[p, i]),
-                                  "mask": merged == rank})
-                    rank += 1
+            # ranks must come from the full keep table; background-column
+            # predictions (instance class C-1, the loss's background label)
+            # are filtered afterwards so ranks stay aligned with merged
+            preds = inst_utils.instances_from_merged(
+                merged, keep, conf, npoint, covered,
+                label_offset=self.cls_offset, encode_rle=False)
+            bg_label = (cfg.num_primitives - 1) + self.cls_offset
+            preds = [pr for pr in preds if pr["label_id"] < bg_label]
             scenes.append({"preds": preds, "gt_inst": gt_inst,
                            "gt_sem": gt_sem})
             self._results_rows.append({
@@ -186,7 +194,9 @@ class SceneTrainer(Trainer):
             })
             cnt += 1
 
-        class_ids = list(range(CLS_OFFSET, cfg.num_primitives + CLS_OFFSET))
+        # instance classes exclude the background column (cls C-1)
+        class_ids = list(range(self.cls_offset,
+                               cfg.num_primitives - 1 + self.cls_offset))
         ap = instance_eval.evaluate_matches(scenes, class_ids) if scenes \
             else {"all_ap": 0.0, "all_ap_50%": 0.0, "all_ap_25%": 0.0}
         pq = instance_eval.panoptic_quality(scenes, class_ids)["pq"] \

@@ -155,6 +155,15 @@ def make_train_step(cfg: Config, model: PrimitiveNet, tx,
         # tiny tunnelled device program that stalls the dispatch pipeline
         # (measured 615 -> 1757 ms/step at B=8 on the tunnelled v5e).
         rng = jax.random.fold_in(rng, state.step)
+        if mesh is not None:
+            # collate emits batch-GLOBAL instance ids; the instance tables
+            # shard with the batch as contiguous chunks, so rebase ids to
+            # this shard's local table or every id on shards > 0 falls
+            # outside the table and the instance loss silently zeroes
+            base = (jax.lax.axis_index("data")
+                    * batch["instance_pointnum"].shape[0])
+            ig = batch["I_gt_global"]
+            batch = dict(batch, I_gt_global=jnp.where(ig >= 0, ig - base, -1))
         (total, (ld, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, rng)
         if mesh is not None:
@@ -192,7 +201,7 @@ def make_eval_step(cfg: Config, model: PrimitiveNet):
                           batch["gt_pc"], batch["gt_normal"], train=False,
                           rng=jax.random.PRNGKey(0))
         total, ld = compute_losses(cfg, out, batch)
-        merged, _, _, _ = inst_utils.merged_labels_device(
+        merged, _, _, _, _ = inst_utils.merged_labels_device(
             out.proposals.point_pid, out.instance.cls_scores,
             out.instance.iou_scores, out.instance.mask_scores,
             out.proposals.valid, cfg.num_primitives)

@@ -33,7 +33,7 @@ def test_device_matches_host(seed, dup):
     merged_host = (I.merge_masks(host) if host
                    else np.zeros(args[0].shape[1], np.int32))
 
-    merged, keep, conf, npoint = I.merged_labels_device(
+    merged, keep, conf, npoint, covered = I.merged_labels_device(
         *[np.asarray(a) for a in args], ci, min_npoint=10)
     merged = np.asarray(merged)
     keep = np.asarray(keep)
@@ -56,7 +56,7 @@ def test_no_instances_gives_zero_labels():
     ci = 7
     args = _random_case(0)
     args = args[:4] + (np.zeros_like(args[4]),)     # all proposals invalid
-    merged, keep, _, _ = I.merged_labels_device(*args, ci)
+    merged, keep, _, _, _ = I.merged_labels_device(*args, ci)
     assert not np.asarray(keep).any()
     assert (np.asarray(merged) == 0).all()
 
@@ -64,7 +64,52 @@ def test_no_instances_gives_zero_labels():
 def test_min_npoint_threshold_respected():
     ci = 7
     args = _random_case(5)
-    _, keep_strict, _, np_strict = I.merged_labels_device(*args, ci,
+    _, keep_strict, _, np_strict, _ = I.merged_labels_device(*args, ci,
                                                           min_npoint=100)
     keep_strict, np_strict = np.asarray(keep_strict), np.asarray(np_strict)
     assert (np_strict[keep_strict] >= 100).all()
+
+
+def test_instances_from_merged_rank0_excludes_uncovered():
+    """Regression: rank-0 masks must not absorb points covered by nothing
+    (merged encodes both as 0; `covered` disambiguates)."""
+    ci = 7
+    args = _random_case(11)
+    merged, keep, conf, npoint, covered = I.merged_labels_device(
+        *[np.asarray(a) for a in args], ci, min_npoint=10)
+    merged, keep = np.asarray(merged), np.asarray(keep)
+    conf, npoint, covered = np.asarray(conf), np.asarray(npoint), np.asarray(covered)
+    if not keep.any() or covered.all():
+        import pytest
+        pytest.skip("case lacks both kept instances and uncovered points")
+    preds = I.instances_from_merged(merged, keep, conf, npoint, covered)
+    mask0 = I.rle_decode(preds[0]["pred_mask"]).astype(bool)
+    assert not mask0[~covered].any()          # uncovered points excluded
+    # union of all masks == covered exactly (partition of covered points)
+    union = np.zeros_like(covered)
+    for pr in preds:
+        union |= I.rle_decode(pr["pred_mask"]).astype(bool)
+    np.testing.assert_array_equal(union, covered)
+
+
+def test_instances_from_merged_matches_host_masks():
+    """Each reconstructed mask must equal the host merged-label partition."""
+    ci = 7
+    args = _random_case(2)
+    point_pid, cls_scores, iou_scores, mask_scores, prop_valid = args
+    sem = np.zeros((point_pid.shape[1], ci), np.float32)
+    host = I.get_instances(point_pid, sem, cls_scores, iou_scores,
+                           mask_scores, prop_valid, ci, min_npoint=10)
+    merged, keep, conf, npoint, covered = I.merged_labels_device(
+        *[np.asarray(a) for a in args], ci, min_npoint=10)
+    preds = I.instances_from_merged(np.asarray(merged), np.asarray(keep),
+                                    np.asarray(conf), np.asarray(npoint),
+                                    np.asarray(covered))
+    assert len(preds) == len(host)
+    for dev_p, host_p in zip(preds, host):
+        assert dev_p["label_id"] == host_p["label_id"]
+        host_mask = I.rle_decode(host_p["pred_mask"]).astype(bool)
+        dev_mask = I.rle_decode(dev_p["pred_mask"]).astype(bool)
+        # device partition assigns each covered point to its argmax-order
+        # instance; every device-mask point must be inside the host mask
+        assert not (dev_mask & ~host_mask).any()

@@ -169,6 +169,9 @@ def test_stpls3d_class_shift(tmp_path):
 
 def test_kitti_variant(tmp_path):
     yaml = pytest.importorskip("yaml")
+    # data root deliberately contains "bin" and "velodyne" substrings: the
+    # label-path derivation must only rewrite the trailing components
+    tmp_path = tmp_path / "velodyne_bins"
     seq = tmp_path / "sequences" / "00"
     (seq / "velodyne").mkdir(parents=True)
     (seq / "labels").mkdir(parents=True)

@@ -71,7 +71,7 @@ def test_eval_step_and_instances():
     merged = I.merge_masks(preds) if preds else np.zeros(n, np.int32)
 
     # the in-jit extraction must agree with the host pair at eval thresholds
-    merged_dev2, _, _, _ = I.merged_labels_device(
+    merged_dev2, _, _, _, _ = I.merged_labels_device(
         np.asarray(out.proposals.point_pid),
         np.asarray(out.instance.cls_scores),
         np.asarray(out.instance.iou_scores),
@@ -161,3 +161,43 @@ def test_bf16_precision_policy_trains():
     # params stay fp32 in the optimizer
     assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(state.params)
                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating))
+
+
+def test_mesh_instance_ids_rebase_to_local_tables():
+    """Regression: under shard_map the collate's batch-global instance ids
+    must be rebased per shard or shards > 0 lose their instance loss.  The
+    sharded per-shard-mean losses must match the unsharded per-item math."""
+    n_dev = min(len(jax.devices()), 2)
+    if n_dev < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    cfg = tiny_config(batch_size=n_dev, mesh=str(n_dev))
+    model = PrimitiveNet(cfg)
+    tx = step_lib.make_optimizer(cfg)
+    batch = _arrays(synth_batch(cfg, cfg.batch_size, seed=7))
+
+    state_m = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
+    mesh = step_lib.make_mesh(cfg)
+    step_m = step_lib.make_train_step(cfg, model, tx, mesh)
+    _, metrics_m = step_m(state_m, batch, jax.random.PRNGKey(1))
+
+    # single-device runs per item (batch 1) to reproduce the per-shard math
+    cfg1 = dataclasses.replace(cfg, batch_size=1, mesh_shape="1")
+    state_1 = step_lib.init_state(cfg1, model, tx, jax.random.PRNGKey(0))
+    step_1 = step_lib.make_train_step(cfg1, model, tx)
+    i_max = cfg.max_instances
+    offs = []
+    for bi in range(n_dev):
+        sub = {k: v[bi:bi + 1] if v.ndim >= 1 and v.shape[0] == n_dev
+               else v for k, v in batch.items()}
+        sub["instance_pointnum"] = batch["instance_pointnum"][
+            bi * i_max:(bi + 1) * i_max]
+        sub["instance_cls"] = batch["instance_cls"][bi * i_max:(bi + 1) * i_max]
+        sub["inst_valid"] = batch["inst_valid"][bi * i_max:(bi + 1) * i_max]
+        ig = batch["I_gt_global"][bi:bi + 1]
+        sub["I_gt_global"] = jnp.where(ig >= 0, ig - bi * i_max, -1)
+        _, m1 = step_1(state_1, sub, jax.random.PRNGKey(1))
+        offs.append(float(m1["offset_loss"]))
+    # pmean of the per-item offset losses == the sharded metric
+    np.testing.assert_allclose(float(metrics_m["offset_loss"]),
+                               np.mean(offs), rtol=1e-4)
+    assert np.isfinite(float(metrics_m["inst_loss"]))
