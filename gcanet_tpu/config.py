@@ -130,6 +130,10 @@ class Config:
     remat: bool = False
     mesh_shape: str = "1"             # data-parallel devices, e.g. "8"
     seed: int = 0
+    # ScanNetEval min region size (scene family): 0 = auto (reference
+    # default 100 on real datasets, 1 on tiny synthetic scenes);
+    # softgroup/evaluation/instance_eval.py:25-28
+    eval_min_npoint: int = 0
 
     grouping: GroupingConfig = dataclasses.field(default_factory=GroupingConfig)
     instance_head: InstanceHeadConfig = dataclasses.field(default_factory=InstanceHeadConfig)
@@ -215,6 +219,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     p("--knn_impl", type=str, default=c.knn_impl)
     p("--mesh_shape", type=str, default=c.mesh_shape)
     p("--seed", type=int, default=c.seed)
+    p("--eval_min_npoint", type=int, default=c.eval_min_npoint)
 
 
 def config_from_namespace(ns: argparse.Namespace) -> Config:

@@ -197,7 +197,13 @@ class SceneTrainer(Trainer):
         # instance classes exclude the background column (cls C-1)
         class_ids = list(range(self.cls_offset,
                                cfg.num_primitives - 1 + self.cls_offset))
-        ap = instance_eval.evaluate_matches(scenes, class_ids) if scenes \
+        # reference benchmark default is min_npoint=100
+        # (instance_eval.py:25-28); tiny synthetic scenes use 1 so small
+        # blob instances stay evaluable.  --eval_min_npoint overrides.
+        min_npoint = cfg.eval_min_npoint or \
+            (1 if self.test_data is None else None)
+        ap = instance_eval.evaluate_matches(
+            scenes, class_ids, min_npoint=min_npoint) if scenes \
             else {"all_ap": 0.0, "all_ap_50%": 0.0, "all_ap_25%": 0.0}
         pq = instance_eval.panoptic_quality(scenes, class_ids)["pq"] \
             if scenes else 0.0
