@@ -142,14 +142,37 @@ class ABCDataset:
         item["index"] = name
         return item
 
-    def batches(self, batch_size: int, shuffle: bool,
-                seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def batches(self, batch_size: int, shuffle: bool, seed: int = 0,
+                shard: tuple = (0, 1),
+                stride: tuple = (0, 1)) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield collated batches.
+
+        ``shard=(rank, world)``: each process loads + collates only its
+        contiguous chunk of every global batch (the multi-host analogue of the
+        reference's DistributedSampler — seed the SAME on every process so the
+        global order agrees).  ``stride=(rank, world)``: batch-level striding
+        (process rank takes batches rank, rank+world, ... — the eval split,
+        softgroup/util/dist.py:51-76 result-collection pattern)."""
+        rank, world = shard
+        srank, sworld = stride
         rng = np.random.RandomState(seed)
         order = np.arange(len(self))
         if shuffle:
             rng.shuffle(order)
-        for start in range(0, len(order) - batch_size + 1, batch_size):
-            items = [self.get(int(i), rng) for i in order[start:start + batch_size]]
+        from gcanet_tpu.parallel.dist import shard_bounds
+
+        lo, hi = shard_bounds(batch_size, rank, world)
+        starts = range(0, len(order) - batch_size + 1, batch_size)
+        for bi, start in enumerate(starts):
+            if bi % sworld != srank:
+                continue
+            # per-item RNG seeded from (epoch seed, global slot) — NOT drawn
+            # from a shared stream — so a rank loading only its chunk gets
+            # bit-identical items to a single process loading the full batch
+            items = [self.get(int(i), np.random.RandomState(
+                        (seed * 100003 + start + off) % (2 ** 31)))
+                     for off, i in enumerate(order[start + lo:start + hi],
+                                             start=lo)]
             batch = collate(items, self.cfg)
             batch["index"] = [it["index"] for it in items]
             yield batch

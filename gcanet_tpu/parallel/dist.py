@@ -53,6 +53,21 @@ def maybe_init_from_env() -> bool:
     return False
 
 
+def shard_bounds(batch_size: int, rank: int, world: int):
+    """This process's contiguous [start, stop) slice of the global batch.
+
+    The global batch is laid out as ``world`` contiguous chunks so each
+    device's shard_map shard comes from the process that loaded it (replaces
+    the reference's per-rank DistributedSampler slice,
+    softgroup/util/dist.py:51-76 usage).
+    """
+    if batch_size % world:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"process_count {world}")
+    local = batch_size // world
+    return rank * local, (rank + 1) * local
+
+
 def get_dist_info():
     """-> (rank, world_size) (softgroup/util/dist.py:40-48)."""
     return jax.process_index(), jax.process_count()
@@ -62,22 +77,42 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def _encode_part(part: List[Any]) -> np.ndarray:
+    """Pickle a python result list into a flat uint8 array (allgather-able)."""
+    import pickle
+
+    return np.frombuffer(pickle.dumps(part), dtype=np.uint8)
+
+
+def _decode_rows(rows: np.ndarray, sizes: np.ndarray) -> List[Any]:
+    """Inverse of ``_encode_part`` over a [world, maxlen] gathered buffer."""
+    import pickle
+
+    out: List[Any] = []
+    for row, size in zip(np.asarray(rows), np.asarray(sizes).ravel()):
+        out.extend(pickle.loads(np.asarray(row)[: int(size)].tobytes()))
+    return out
+
+
 def collect_results(part: List[Any]) -> List[Any]:
     """Gather per-process python results to every process.
 
-    Reference softgroup/util/dist.py:51-76 pickles tensors over NCCL; here we
-    use multihost_utils.process_allgather on object arrays when running
-    multi-process, and identity single-process.
+    Reference softgroup/util/dist.py:51-76 pickles tensors over NCCL; here the
+    part list is pickled to bytes, zero-padded to the max length across
+    processes (``process_allgather`` needs identical shapes), gathered as a
+    fixed-shape uint8 array, and unpickled per row.  Identity single-process.
     """
     if jax.process_count() == 1:
         return part
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(np.asarray(part, dtype=object))
-    out: List[Any] = []
-    for row in gathered:
-        out.extend(row.tolist() if hasattr(row, "tolist") else list(row))
-    return out
+    data = _encode_part(part)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([data.size], np.int64))
+    buf = np.zeros((int(np.max(sizes)),), np.uint8)
+    buf[: data.size] = data
+    rows = multihost_utils.process_allgather(buf)
+    return _decode_rows(rows, sizes)
 
 
 class AverageMeter:

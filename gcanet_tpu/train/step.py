@@ -17,6 +17,7 @@ from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -108,6 +109,10 @@ def init_state(cfg: Config, model: PrimitiveNet, tx, rng) -> TrainState:
 
 
 def _mesh_size(cfg: Config) -> int:
+    if jax.process_count() > 1:
+        # multi-host: the data mesh always spans every process's devices
+        # (the reference's DDP world, softgroup/util/dist.py:51-112)
+        return jax.device_count()
     return int(cfg.mesh_shape) if str(cfg.mesh_shape).isdigit() else 1
 
 
@@ -119,6 +124,50 @@ def make_mesh(cfg: Config) -> Mesh | None:
 
     devices = jax.devices()[:n]
     return Mesh(mesh_utils.create_device_mesh((n,), devices), ("data",))
+
+
+def rebase_local_batch(batch: Dict[str, Any], rank: int, world: int,
+                       max_instances: int) -> Dict[str, Any]:
+    """Make a per-process collated batch globally consistent.
+
+    Each process collates only its own chunk, so its ``I_gt_global`` ids live
+    in ``[0, local_b * max_instances)``; the in-step rebase
+    (``local_step``: ``axis_index('data') * shard_rows``) assumes ids indexed
+    into the GLOBAL instance table.  Shift this process's ids by its chunk
+    offset so the two compose."""
+    if world <= 1 or rank == 0:
+        return batch
+    local_b = batch["gt_pc"].shape[0]
+    base = rank * local_b * max_instances
+    ig = np.asarray(batch["I_gt_global"])
+    return dict(batch, I_gt_global=np.where(ig >= 0, ig + base, -1))
+
+
+def replicate_to_mesh(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a host-identical pytree onto every device of the mesh.
+
+    Works single- and multi-host: each process contributes its (identical)
+    local value and the result is a fully-replicated global jax.Array —
+    required because a jit over a multi-host mesh only accepts global arrays.
+    """
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), tree)
+
+
+def make_global_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Assemble per-process local arrays into global jax.Arrays on the mesh.
+
+    Every entry is batch-sharded along its leading axis (the collate emits
+    everything either [B, ...] or [B*max_instances, ...])."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P("data"))
+    return {k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            for k, v in batch.items()}
 
 
 def make_train_step(cfg: Config, model: PrimitiveNet, tx,

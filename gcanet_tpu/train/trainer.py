@@ -84,14 +84,16 @@ class ScalarLogger:
             self.tb.add_histogram(name, v, int(step))
 
 
-def prefetch_to_device(batch_iter, depth: int = 2):
+def prefetch_to_device(batch_iter, depth: int = 2, mesh=None):
     """Move batches to device on a background thread, ``depth`` ahead.
 
     The reference overlaps host work with GPU compute through DataLoader
     worker processes + pinned-memory `.cuda()` (trainer_new.py:163-208); the
     TPU analogue is issuing ``device_put`` for upcoming batches while the
     current step executes, hiding the host->device transfer on the tunnelled
-    TPU.  ``index`` entries (python ids) pass through untouched.
+    TPU.  ``index`` entries (python ids) pass through untouched.  With a
+    ``mesh``, arrays are assembled into batch-sharded global jax.Arrays
+    (each process contributes its local chunk — multi-host data feed).
     """
     import queue
     import threading
@@ -99,12 +101,21 @@ def prefetch_to_device(batch_iter, depth: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     end = object()
 
+    def put_batch(item):
+        arrays = {k: v for k, v in item.items() if k != "index"}
+        if mesh is not None:
+            arrays = step_lib.make_global_batch(mesh, arrays)
+        else:
+            arrays = {k: jax.device_put(np.asarray(v))
+                      for k, v in arrays.items()}
+        if "index" in item:
+            arrays["index"] = item["index"]
+        q.put(arrays)
+
     def producer():
         try:
             for item in batch_iter:
-                arrays = {k: (v if k == "index" else jax.device_put(np.asarray(v)))
-                          for k, v in item.items()}
-                q.put(arrays)
+                put_batch(item)
             q.put(end)
         except BaseException as e:                      # noqa: BLE001
             q.put(e)
@@ -166,6 +177,11 @@ class Trainer:
         self.start_epoch = 0
         if not cfg.not_load_model:
             self.load_checkpoint()
+        if self.mesh is not None:
+            # jit over a (possibly multi-host) mesh accepts only global
+            # arrays; the state is identical on every process (same seed /
+            # same restored checkpoint), so replication is safe
+            self.state = step_lib.replicate_to_mesh(self.state, self.mesh)
 
     # ------------------------------------------------------------ checkpoints
     def load_checkpoint(self):
@@ -189,9 +205,11 @@ class Trainer:
 
         path = os.path.join(self.ckpt_dir, tag)
         with ocp.StandardCheckpointer() as ckptr:
+            # multi-host: every process participates (orbax coordinates)
             ckptr.save(path, self.state, force=True)
-        with open(os.path.join(self.ckpt_dir, "meta.json"), "w") as f:
-            json.dump({"epoch": epoch, "metrics": metrics or {}}, f)
+        if jax.process_index() == 0:
+            with open(os.path.join(self.ckpt_dir, "meta.json"), "w") as f:
+                json.dump({"epoch": epoch, "metrics": metrics or {}}, f)
 
     # ------------------------------------------------------------------- data
     def build_dataloaders(self):
@@ -210,31 +228,55 @@ class Trainer:
             self.train_data = self.test_data = None
 
     def _train_batches(self, epoch: int):
+        """Per-process batch stream: each process loads + collates only its
+        contiguous chunk of every global batch (shard selection replacing the
+        reference's DistributedSampler; ids re-based so the in-step
+        axis_index rebase composes — see step.rebase_local_batch)."""
         cfg = self.cfg
+        from gcanet_tpu.parallel.dist import get_dist_info
+
+        rank, world = get_dist_info()
         if self.train_data is not None:
-            yield from self.train_data.batches(cfg.batch_size, shuffle=True,
-                                               seed=cfg.seed + epoch)
+            for batch in self.train_data.batches(cfg.batch_size, shuffle=True,
+                                                 seed=cfg.seed + epoch,
+                                                 shard=(rank, world)):
+                yield step_lib.rebase_local_batch(batch, rank, world,
+                                                  cfg.max_instances)
         else:
             from gcanet_tpu.data.synthetic import synth_batch
 
+            local_bs = cfg.batch_size // world
             for i in range(32):
-                yield synth_batch(cfg, cfg.batch_size, seed=epoch * 1000 + i)
+                batch = synth_batch(cfg, local_bs,
+                                    seed=(epoch * 1000 + i) * world + rank)
+                yield step_lib.rebase_local_batch(batch, rank, world,
+                                                  cfg.max_instances)
 
     def _test_batches(self):
+        """Eval stream, rank-strided across processes (results re-joined via
+        collect_results, softgroup/util/dist.py:51-76 semantics)."""
         cfg = self.cfg
+        from gcanet_tpu.parallel.dist import get_dist_info
+
+        rank, world = get_dist_info()
         if self.test_data is not None:
-            yield from self.test_data.batches(1, shuffle=False)
+            yield from self.test_data.batches(1, shuffle=False,
+                                              stride=(rank, world))
         else:
             from gcanet_tpu.data.synthetic import synth_batch
 
             for i in range(8):
-                yield synth_batch(cfg, 1, seed=90000 + i)
+                if i % world == rank:
+                    yield synth_batch(cfg, 1, seed=90000 + i)
 
     # ------------------------------------------------------------------ loops
     def _set_lr(self, epoch: int):
         lr = step_lib.lr_for_epoch(self.cfg, epoch)
         hp = self.state.opt_state.hyperparams
-        hp["learning_rate"] = jnp.asarray(lr, dtype=hp["learning_rate"].dtype)
+        val = jnp.asarray(lr, dtype=hp["learning_rate"].dtype)
+        if self.mesh is not None:
+            val = step_lib.replicate_to_mesh(val, self.mesh)
+        hp["learning_rate"] = val
         self.train_viz.log_scalars({"lr": lr}, epoch)
         return lr
 
@@ -242,11 +284,14 @@ class Trainer:
         cfg = self.cfg
         self._set_lr(epoch)
         rng = jax.random.PRNGKey(cfg.seed * 7919 + epoch)
+        if self.mesh is not None:
+            rng = step_lib.replicate_to_mesh(rng, self.mesh)
         stat: Dict[str, float] = {}
         step_t0 = time.time()
         n_batches = 0
         pending = []                        # device-side metrics; fetch lazily
-        batches = prefetch_to_device(self._train_batches(epoch))
+        batches = prefetch_to_device(self._train_batches(epoch),
+                                     mesh=self.mesh)
         for batch_idx, batch in enumerate(batches):
             # per-step key is folded in on device from state.step — no
             # host-side split (each one is a tunnelled mini-dispatch)
@@ -280,11 +325,19 @@ class Trainer:
         stat: Dict[str, float] = {}
         cnt = 0
         self._results_rows = []
+        # the eval step is a plain (mesh-less) jit at batch 1; under
+        # multi-host the train state is a global array — evaluate on this
+        # process's local replica
+        params, batch_stats = self.state.params, self.state.batch_stats
+        if self.mesh is not None and jax.process_count() > 1:
+            local = lambda x: x.addressable_data(0)  # noqa: E731
+            params = jax.tree.map(local, params)
+            batch_stats = jax.tree.map(local, batch_stats)
         for batch in self._test_batches():
             arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
             try:
                 out, merged_dev, total, ld = self.eval_step(
-                    self.state.params, self.state.batch_stats, arrays)
+                    params, batch_stats, arrays)
             except Exception as e:                 # noqa: BLE001
                 # log the failing object and continue (trainer_new.py:333-335)
                 obj = batch.get("index", ["?"])[0]
@@ -310,10 +363,24 @@ class Trainer:
                 "miou": round(miou, 3), "type_miou": round(type_miou, 3),
             })
             cnt += 1
+        from gcanet_tpu.parallel.dist import collect_results, is_main_process
+
+        if jax.process_count() > 1:
+            # every process evaluated a rank-strided subset; merge sums/rows
+            # to all processes (softgroup/util/dist.py:51-76 collect pattern)
+            merged_stats = collect_results([(stat, cnt)])
+            stat, cnt = {}, 0
+            for s, c in merged_stats:
+                cnt += c
+                for k, v in s.items():
+                    stat[k] = stat.get(k, 0.0) + v
+            self._results_rows = collect_results(self._results_rows)
         avg = {k: v / max(cnt, 1) for k, v in stat.items()}
-        self._write_results_csv(epoch, avg)
-        self.test_viz.log_scalars(avg, epoch)
-        self.logger.info("eval " + " ".join(f"{k}: {v:.4f}" for k, v in sorted(avg.items())))
+        if is_main_process():
+            self._write_results_csv(epoch, avg)
+            self.test_viz.log_scalars(avg, epoch)
+            self.logger.info("eval " + " ".join(
+                f"{k}: {v:.4f}" for k, v in sorted(avg.items())))
         return avg.get("miou", 0.0), avg.get("type_miou", 0.0)
 
     def _prune_checkpoints(self, epoch: int):
