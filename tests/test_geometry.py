@@ -158,3 +158,99 @@ def test_spline_refit_recovers_surface():
         nu, nv, jnp.asarray(cp_fit)[None]))[0]
     err = np.abs(resampled - surface).mean()
     assert err < 0.01
+
+
+def test_surface_basis_partition_of_unity_scattered():
+    rng = np.random.RandomState(0)
+    params = rng.random_sample((64, 2))
+    d = spline.surface_basis_at(params, 10, 10, 2, 2)
+    np.testing.assert_allclose(d.sum(1), 1.0, atol=1e-9)
+    assert (d >= 0).all()
+
+
+def test_optimize_open_spline_kronecker_recovers_control_grid():
+    """Done-criterion from the round-1 verdict: recover a known control grid
+    from noisy surface samples (spec_utils.py:236-304 pipeline)."""
+    rng = np.random.RandomState(1)
+    # ground truth = a smooth 10x10 deg-2 surface; predict from a coarse
+    # 20x20 deg-3 LSQ fit of it, then optimize back
+    u, v = np.meshgrid(np.linspace(0, 1, 10), np.linspace(0, 1, 10),
+                       indexing="ij")
+    cp_true = np.stack([u, v, 0.3 * np.sin(2 * u) * np.cos(2 * v)],
+                       -1).reshape(100, 3)
+    d_true = spline.surface_basis_at(
+        spline.regular_parameterization(40, 40), 10, 10, 2, 2)
+    clean = d_true @ cp_true
+    noisy = clean + 0.005 * rng.randn(*clean.shape)
+
+    # "predicted" 20x20 control grid: direct LSQ through the noisy samples
+    d20 = spline.surface_basis_at(
+        spline.regular_parameterization(40, 40), 20, 20, 3, 3)
+    cp_pred = np.asarray(spline.fit_surface_kronecker(noisy, d20, reg=1e-4))
+
+    out_pts, new_cp = spline.optimize_spline_kronecker(
+        noisy, cp_pred, closed=False, new_cp_size=10, new_degree=2,
+        n_params=1600, out_grid=20, seed=0)
+    d_out = spline.surface_basis_at(
+        spline.regular_parameterization(20, 20), 10, 10, 2, 2)
+    ref = d_out @ cp_true
+    err = np.abs(out_pts - ref).max()
+    assert err < 0.06, err                     # measured 0.042
+
+    # the refit surface is closer to the true surface than the noisy inputs
+    dense = spline.surface_basis_at(
+        spline.regular_parameterization(80, 80), 10, 10, 2, 2) @ cp_true
+
+    def chamfer(a, b):
+        return np.linalg.norm(a[:, None] - b[None, :], axis=2).min(1).mean()
+
+    assert chamfer(out_pts, dense) < chamfer(noisy, dense)
+
+
+def test_fit_surface_kronecker_recovers_control_points():
+    """The Kronecker LSQ itself recovers a known control grid exactly-ish
+    when given true footpoint parameters (boundary coverage included, per the
+    reference's own note, spec_utils.py:256-259)."""
+    rng = np.random.RandomState(3)
+    u, v = np.meshgrid(np.linspace(0, 1, 10), np.linspace(0, 1, 10),
+                       indexing="ij")
+    cp_true = np.stack([u, v, 0.2 * u * u - 0.1 * v], -1).reshape(100, 3)
+    params = np.concatenate([rng.random_sample((500, 2)),
+                             spline.boundary_parameterization(20)], 0)
+    d = spline.surface_basis_at(params, 10, 10, 2, 2)
+    pts = d @ cp_true + 0.002 * rng.randn(len(params), 3)
+    cp_rec = np.asarray(spline.fit_surface_kronecker(pts, d, reg=1e-6))
+    assert np.abs(cp_rec - cp_true).max() < 0.05
+
+
+def test_optimize_close_spline_wraps_first_row():
+    rng = np.random.RandomState(2)
+    cp = rng.randn(420, 3) * 0.1
+    cp[:20] = cp[400:420]                      # closed: first u-row == last
+    pts = rng.randn(500, 3) * 0.1
+    out, _ = spline.optimize_spline_kronecker(
+        pts, cp, closed=True, new_cp_size=8, new_degree=3,
+        deform=False, n_params=300, out_grid=12, seed=0)
+    assert out.shape == (12 * 12 + 12, 3)
+    np.testing.assert_allclose(out[-12:], out[:12], atol=1e-6)
+
+
+def test_arap_deform_translation_and_rigidity():
+    """A flat grid pulled toward a translated copy moves toward it while
+    approximately preserving edge lengths (the 'as-rigid-as-possible'
+    property)."""
+    g = 10
+    u, v = np.meshgrid(np.linspace(0, 1, g), np.linspace(0, 1, g),
+                       indexing="ij")
+    grid = np.stack([u.ravel(), v.ravel(), np.zeros(g * g)], 1)
+    # small rigid shift: nearest-point correspondences stay mostly true, so
+    # the deform should converge onto the target with edge lengths intact
+    shift = np.array([0.05, 0.05, 0.1])
+    targets = grid + shift
+    out = np.asarray(spline.arap_deform(grid, targets, g, g, iters=8,
+                                        w_fit=0.5))
+    assert np.linalg.norm(out - targets, axis=1).mean() < 0.01
+    edges = spline._grid_edges(g, g)
+    l0 = np.linalg.norm(grid[edges[:, 0]] - grid[edges[:, 1]], axis=1)
+    l1 = np.linalg.norm(out[edges[:, 0]] - out[edges[:, 1]], axis=1)
+    assert np.abs(l1 - l0).max() < 1e-3
