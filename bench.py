@@ -34,7 +34,11 @@ def main():
     # spot: B=8 -> 13.2, B=10 -> 13.8, B=12 -> 13.3 clouds/s, B=16 OOM
     batch = int(os.environ.get("GCA_BENCH_BATCH", "10"))
     n_pts = int(os.environ.get("GCA_BENCH_POINTS", "8192"))
-    cfg = Config(num_points=n_pts, batch_size=batch, max_instances=48)
+    props = int(os.environ.get("GCA_BENCH_PROPOSALS", "0"))
+    head = InstanceHeadConfig(max_proposals=props) if props \
+        else InstanceHeadConfig()
+    cfg = Config(num_points=n_pts, batch_size=batch, max_instances=48,
+                 instance_head=head)
     model = PrimitiveNet(cfg)
     tx = step_lib.make_optimizer(cfg)
     state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))

@@ -20,9 +20,10 @@ def _unit(v):
     return v / (np.linalg.norm(v) + 1e-12)
 
 
-def synth_object(cfg: Config, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+def synth_object(cfg: Config, rng: np.random.RandomState,
+                 inst_range: tuple = (3, 9)) -> Dict[str, np.ndarray]:
     n = cfg.num_points
-    k = rng.randint(3, 9)                       # instances per object
+    k = rng.randint(*inst_range)                # instances per object
     sizes = rng.multinomial(n, np.ones(k) / k)
     pts, nrm, tgt, igt, par = [], [], [], [], []
     for i in range(k):
@@ -115,9 +116,11 @@ def synth_object(cfg: Config, rng: np.random.RandomState) -> Dict[str, np.ndarra
     }
 
 
-def synth_batch(cfg: Config, batch_size: int, seed: int = 0) -> Dict[str, np.ndarray]:
+def synth_batch(cfg: Config, batch_size: int, seed: int = 0,
+                inst_range: tuple = (3, 9)) -> Dict[str, np.ndarray]:
     rng = np.random.RandomState(seed)
-    return collate([synth_object(cfg, rng) for _ in range(batch_size)], cfg)
+    return collate([synth_object(cfg, rng, inst_range)
+                    for _ in range(batch_size)], cfg)
 
 
 def synth_scene(cfg: Config, rng: np.random.RandomState,

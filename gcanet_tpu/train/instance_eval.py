@@ -467,6 +467,18 @@ def panoptic_quality(scenes: Sequence[Dict], class_ids: Sequence[int],
     return {"pq": pq, "per_class": pq_per_class}
 
 
+def evaluate_offset_mae(pred_offsets: np.ndarray, gt_offsets: np.ndarray,
+                        gt_instance: np.ndarray,
+                        ignore_label: int = -1) -> float:
+    """Mean absolute offset error over foreground points
+    (softgroup/evaluation/point_wise_eval.py:36-44)."""
+    pos = gt_instance != ignore_label
+    if not pos.any():
+        return 0.0
+    return float(np.abs(gt_offsets[pos] - pred_offsets[pos]).sum()
+                 / pos.sum())
+
+
 def pointwise_semantic_eval(pred_sem: np.ndarray, gt_sem: np.ndarray,
                             num_classes: int, ignore_label: int = -1
                             ) -> Dict[str, float]:
