@@ -136,7 +136,18 @@ class AverageMeter:
         return self._reduce(self.val)
 
     def get_avg(self):
-        return self._reduce(self.sum / max(self.count, 1))
+        """Count-weighted global average: one allgather of (sum, count)
+        instead of averaging per-process averages (the reference's
+        all_reduce/world_size, softgroup/util/utils.py:23-38, is biased when
+        per-process counts differ)."""
+        if not self.apply_dist_reduce or jax.process_count() == 1:
+            return self.sum / max(self.count, 1)
+        from jax.experimental import multihost_utils
+
+        rows = multihost_utils.process_allgather(
+            np.asarray([self.sum, float(self.count)]))
+        tot = np.sum(np.asarray(rows), axis=0)
+        return float(tot[0] / max(tot[1], 1.0))
 
     def _reduce(self, v: float) -> float:
         if not self.apply_dist_reduce or jax.process_count() == 1:
