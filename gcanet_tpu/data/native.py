@@ -26,7 +26,11 @@ def _load() -> Optional[ctypes.CDLL]:
     if _TRIED:
         return _LIB
     _TRIED = True
-    so = os.path.abspath(os.path.join(_CSRC, "libgcadata.so"))
+    # an installed wheel ships the .so next to this module (setup.py);
+    # a source checkout builds it in csrc/ on first use
+    packaged = os.path.join(os.path.dirname(__file__), "libgcadata.so")
+    so = packaged if os.path.exists(packaged) \
+        else os.path.abspath(os.path.join(_CSRC, "libgcadata.so"))
     if not os.path.exists(so):
         try:
             subprocess.run(["make", "-C", os.path.abspath(_CSRC)],
