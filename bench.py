@@ -37,8 +37,9 @@ def main():
     props = int(os.environ.get("GCA_BENCH_PROPOSALS", "0"))
     head = InstanceHeadConfig(max_proposals=props) if props \
         else InstanceHeadConfig()
+    enc_bf16 = bool(int(os.environ.get("GCA_BENCH_ENC_BF16", "0")))
     cfg = Config(num_points=n_pts, batch_size=batch, max_instances=48,
-                 instance_head=head)
+                 encoder_bf16=enc_bf16, instance_head=head)
     model = PrimitiveNet(cfg)
     tx = step_lib.make_optimizer(cfg)
     state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))

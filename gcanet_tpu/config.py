@@ -124,6 +124,11 @@ class Config:
     # behaviourally equivalent and ~6x faster than exact top_k at N=8192);
     # "xla" = exact lax.top_k (parity/testing).
     knn_impl: str = "approx"
+    # bf16 compute for the encoder's [B, N, K, C] edge tensors (matmuls are
+    # MXU-bf16-rounded either way; this halves the HBM traffic of the GN/
+    # activation/max passes and their cotangents).  GroupNorm statistics stay
+    # fp32; all [B, N, C] features leave the encoder as fp32.
+    encoder_bf16: bool = False
     # Rematerialise edge-conv/offset activations in backward.  Saves ~6 GB of
     # activations at N=8192 (for batch > 8) at ~2x step-time cost — only worth
     # it when memory-bound; measured faster OFF at batch <= 8.
@@ -217,6 +222,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     p("--max_instances", type=int, default=c.max_instances)
     p("--precision", type=str, default=c.precision)
     p("--knn_impl", type=str, default=c.knn_impl)
+    p("--encoder_bf16", type=int, default=int(c.encoder_bf16))
     p("--mesh_shape", type=str, default=c.mesh_shape)
     p("--seed", type=int, default=c.seed)
     p("--eval_min_npoint", type=int, default=c.eval_min_npoint)

@@ -30,6 +30,7 @@ class EdgeConv(fnn.Module):
     groups: int
     k: int
     knn_impl: str = "xla"
+    compute_bf16: bool = False
 
     @fnn.compact
     def __call__(self, x, idx: Optional[jnp.ndarray] = None):
@@ -39,12 +40,18 @@ class EdgeConv(fnn.Module):
         kernel = self.param("kernel", fnn.initializers.lecun_normal(),
                             (2 * c_in, self.features))
         w1, w2 = kernel[:c_in], kernel[c_in:]
-        a = jnp.einsum("bni,io->bno", x, w1)
-        c = jnp.einsum("bni,io->bno", x, w2 - w1)
+        # compute_bf16: the [B, N, K, C] edge tensor (and its cotangent) is
+        # HBM-traffic-bound; bf16 halves every elementwise/norm pass over it.
+        # GroupNorm stats stay fp32 (flax computes half-precision stats in
+        # fp32); the [B, N, C] output is cast back to fp32 for consumers.
+        dt = jnp.bfloat16 if self.compute_bf16 else x.dtype
+        a = jnp.einsum("bni,io->bno", x, w1).astype(dt)
+        c = jnp.einsum("bni,io->bno", x, w2 - w1).astype(dt)
         h = knn_ops.gather_neighbors(a, idx) + c[:, :, None, :]
-        h = fnn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(h)
+        h = fnn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                          dtype=dt if self.compute_bf16 else None)(h)
         h = fnn.leaky_relu(h, negative_slope=0.2)
-        return jnp.max(h, axis=2)                            # [B, N, C']
+        return jnp.max(h, axis=2).astype(x.dtype)            # [B, N, C']
 
 
 class DGCNNEncoderGn(fnn.Module):
@@ -58,6 +65,7 @@ class DGCNNEncoderGn(fnn.Module):
     nn_nb: int = 80
     knn_impl: str = "xla"
     remat: bool = False
+    compute_bf16: bool = False
 
     @fnn.compact
     def __call__(self, x, idx1: Optional[jnp.ndarray] = None,
@@ -74,15 +82,15 @@ class DGCNNEncoderGn(fnn.Module):
             nbr1 = knn_ops.gather_neighbors(x, idx1)
         ef = knn_ops.edge_feature_from_gathered(x, nbr1)
         Conv1 = fnn.remat(ConvGNAct) if self.remat else ConvGNAct
-        ef = Conv1(64, 2)(ef)
-        x1 = jnp.max(ef, axis=2)
+        ef = Conv1(64, 2, dtype=jnp.bfloat16 if self.compute_bf16 else None)(ef)
+        x1 = jnp.max(ef, axis=2).astype(x.dtype)
 
         # optional remat: [B, N, K, C] edge tensors recomputed in the backward
         # pass instead of stored — gigabytes of activation memory for ~2x
         # step time; see Config.remat
         EC = fnn.remat(EdgeConv, static_argnums=()) if self.remat else EdgeConv
-        x2 = EC(64, 2, k, self.knn_impl)(x1)
-        x3 = EC(128, 2, k, self.knn_impl)(x2)
+        x2 = EC(64, 2, k, self.knn_impl, self.compute_bf16)(x1)
+        x3 = EC(128, 2, k, self.knn_impl, self.compute_bf16)(x2)
 
         x_features = jnp.concatenate([x1, x2, x3], axis=-1)  # [B, N, 256]
         x4 = fnn.relu(DenseGN(1024, 8)(x_features))          # mlp1 + bnmlp1 (dgcnn-4.py:508)

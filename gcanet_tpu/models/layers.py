@@ -23,17 +23,27 @@ def leaky_relu(x):
 
 
 class ConvGNAct(fnn.Module):
-    """Dense (1x1 conv) + GroupNorm + activation, the DGCNN conv block."""
+    """Dense (1x1 conv) + GroupNorm + activation, the DGCNN conv block.
+
+    ``dtype=jnp.bfloat16`` runs the block's compute (and therefore its
+    activations/cotangents) in bf16 — used on the [B, N, K, C] edge tensors
+    where HBM traffic, not FLOPs, is the cost.  flax GroupNorm computes its
+    statistics in fp32 whenever dtype is half-precision; params stay fp32.
+    """
 
     features: int
     groups: int
     use_bias: bool = False
     act: Callable = leaky_relu
+    dtype: Optional[jnp.dtype] = None
 
     @fnn.compact
     def __call__(self, x):
-        x = fnn.Dense(self.features, use_bias=self.use_bias)(x)
-        x = fnn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = fnn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype)(x)
+        x = fnn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                          dtype=self.dtype)(x)
         return self.act(x)
 
 

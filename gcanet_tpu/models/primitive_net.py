@@ -77,7 +77,8 @@ class PrimitiveNet(fnn.Module):
 
         nbr1 = knn_ops.gather_neighbors(points, idx1)   # shared: layer 1 + normals_g
         feats = DGCNNEncoderGn(mode=mode, nn_nb=cfg.nn_nb, knn_impl=cfg.knn_impl,
-                               remat=cfg.remat)(points, idx1, nbr1)  # [B, N, 1280]
+                               remat=cfg.remat,
+                               compute_bf16=cfg.encoder_bf16)(points, idx1, nbr1)  # [B, N, 1280]
 
         # trunk (dgcnn-4.py:644-645): conv1 1280->512 GN8, conv2 512->256 GN4
         x = fnn.relu(DenseGN(512, 8)(feats))
@@ -114,8 +115,9 @@ class PrimitiveNet(fnn.Module):
             nf = knn_ops.edge_feature_normals_g(points6, idx_emb)
         else:
             nf = knn_ops.edge_feature_normals_g_from_gathered(points6, nbr1)
-        nf = (fnn.remat(ConvGNAct) if cfg.remat else ConvGNAct)(64, 2)(nf)
-        normal_feature = jnp.max(nf, axis=2)                      # [B, N, 64]
+        nf = (fnn.remat(ConvGNAct) if cfg.remat else ConvGNAct)(
+            64, 2, dtype=jnp.bfloat16 if cfg.encoder_bf16 else None)(nf)
+        normal_feature = jnp.max(nf, axis=2).astype(x_all.dtype)  # [B, N, 64]
         emb_in = jnp.concatenate([x_all, x_type, x_para, normal_feature], axis=-1)  # 832
         h = fnn.relu(DenseGN(256, 4)(emb_in))
         embedding = fnn.Dense(cfg.out_dim)(h)                     # [B, N, emb]

@@ -15,7 +15,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -40,6 +44,8 @@ def main():
                     help="approx-kNN recall target, or 'exact'")
     ap.add_argument("--hard", action="store_true",
                     help="harder mix: 8-16 instances per object")
+    ap.add_argument("--encoder-bf16", action="store_true",
+                    help="bf16 edge-tensor compute in the DGCNN encoder")
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--eval-objects", type=int, default=8)
     ap.add_argument("--out", default="/tmp/convergence.jsonl")
@@ -59,6 +65,7 @@ def main():
     knn_impl = "xla" if args.recall == "exact" else f"approx:{args.recall}"
     cfg = Config(num_points=args.points, batch_size=args.batch,
                  max_instances=args.max_instances, knn_impl=knn_impl,
+                 encoder_bf16=args.encoder_bf16,
                  instance_head=InstanceHeadConfig(
                      max_proposals=args.max_proposals))
     model = PrimitiveNet(cfg)
@@ -86,8 +93,9 @@ def main():
             i_gt = np.asarray(eb["I_gt"])[0]
             t_gt = np.asarray(eb["T_gt"])[0]
             pred_t = np.argmax(tpp[0], -1)
-            mious.append(M.compute_miou(merged[0], i_gt))
-            tmious.append(M.compute_type_miou_abc(pred_t, t_gt, merged[0], i_gt))
+            merged = np.asarray(merged).reshape(-1)   # [N] (batch-1 eval)
+            mious.append(M.compute_miou(merged, i_gt))
+            tmious.append(M.compute_type_miou_abc(pred_t, t_gt, merged, i_gt))
         return float(np.mean(mious)), float(np.mean(tmious))
 
     rng = jax.random.PRNGKey(1)
