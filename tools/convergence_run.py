@@ -101,10 +101,10 @@ def main():
     rng = jax.random.PRNGKey(1)
     t0 = time.time()
     log = open(args.out, "w")
-    n_cache = 16                   # distinct synthetic batches, round-robin
-    batches = [
-        {k: jnp.asarray(v) for k, v in make_batch(cfg, 1000 + i).items()
-         if k != "index"} for i in range(n_cache)]
+    # fresh batch every step (the round-1 protocol that set the 0.94/1.00
+    # baseline, docs/production_convergence_v2.log) — a small cached pool
+    # measurably overfits: 16 batches round-robin plateaued held-out mIoU at
+    # ~0.85 where fresh batches reach ~0.94
     for step in range(args.steps + 1):
         if step % args.eval_every == 0:
             miou, tmiou = evaluate()
@@ -115,7 +115,9 @@ def main():
             log.write(json.dumps(row) + "\n")
             log.flush()
         if step < args.steps:
-            state, metrics = train_step(state, batches[step % n_cache], rng)
+            batch = {k: jnp.asarray(v) for k, v in
+                     make_batch(cfg, 1000 + step).items() if k != "index"}
+            state, metrics = train_step(state, batch, rng)
     print("done")
     log.close()
 
