@@ -49,7 +49,12 @@ class InstanceHeadConfig:
 
     grid_size: int = 16               # dense per-proposal grid (reference: 64 sparse)
     channels: int = 64
-    max_proposals: int = 200          # train-time proposal cap (dgcnn-4.py:575,749-752)
+    # Train-time proposal cap.  Reference uses 200 (dgcnn-4.py:575,749-752);
+    # the TPU default is 100: the head's cost is proportional to this static
+    # cap and at 200 most slots are padding.  A/B convergence at 100 matches
+    # 200 on both the default and the hard (8-16 instance) mixes within run
+    # noise (BASELINE.md round-2 log); set 200 for strict reference parity.
+    max_proposals: int = 100
     bn_eps: float = 1e-4              # norm_fn at dgcnn-4.py:605
     bn_momentum: float = 0.1
 
@@ -226,13 +231,20 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     p("--mesh_shape", type=str, default=c.mesh_shape)
     p("--seed", type=int, default=c.seed)
     p("--eval_min_npoint", type=int, default=c.eval_min_npoint)
+    p("--max_proposals", type=int, default=c.instance_head.max_proposals,
+      help="train-time proposal cap (reference parity: 200; TPU default 100)")
 
 
 def config_from_namespace(ns: argparse.Namespace) -> Config:
     c = Config()
     fields = {f.name for f in dataclasses.fields(Config)}
     updates = {k: v for k, v in vars(ns).items() if k in fields and v is not None}
-    return c.replace(**updates)
+    c = c.replace(**updates)
+    mp = getattr(ns, "max_proposals", None)
+    if mp is not None and mp != c.instance_head.max_proposals:
+        c = c.replace(instance_head=dataclasses.replace(
+            c.instance_head, max_proposals=mp))
+    return c
 
 
 def build_option(argv=None) -> Config:

@@ -92,6 +92,14 @@ def test_cli_build_option_reference_flags():
     assert build_model(cfg) is not None
 
 
+def test_cli_max_proposals_flag():
+    # TPU default is 100 (A/B-validated, BASELINE.md); reference parity cap
+    # (dgcnn-4.py:575) stays one flag away.
+    assert build_option([]).instance_head.max_proposals == 100
+    cfg = build_option(["--max_proposals", "200"])
+    assert cfg.instance_head.max_proposals == 200
+
+
 def test_augmentations_shapes():
     from gcanet_tpu.data.augment import AUGMENT_ROUTINES
 
