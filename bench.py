@@ -30,8 +30,8 @@ A100_REFERENCE_CLOUDS_PER_SEC = 5.0  # documented estimate, see BASELINE.md
 
 def main():
     enable_compilation_cache()
-    # post one-hot-offset memory relief, batch 10 is the single-chip sweet
-    # spot: B=8 -> 13.2, B=10 -> 13.8, B=12 -> 13.3 clouds/s, B=16 OOM
+    # batch 10 is the single-chip sweet spot (re-swept at max_proposals=100:
+    # B=10 -> 16.0, B=12 -> 15.1 clouds/s, B=16 OOM; BASELINE.md round-2 log)
     batch = int(os.environ.get("GCA_BENCH_BATCH", "10"))
     n_pts = int(os.environ.get("GCA_BENCH_POINTS", "8192"))
     props = int(os.environ.get("GCA_BENCH_PROPOSALS", "0"))

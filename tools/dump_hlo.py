@@ -1,0 +1,65 @@
+"""Dump the compiled (post-optimization) HLO of the bench-config train step.
+
+Pairs with tools/parse_trace.py: the trace reports device time per fusion
+name (``fusion.51`` etc.); this dump is where those names resolve to real
+ops/shapes.  Usage:
+
+    python tools/dump_hlo.py                    # writes /tmp/train_step_hlo.txt
+    python tools/dump_hlo.py fusion.51          # prints that computation only
+
+Env knobs mirror bench.py: GCA_BENCH_BATCH / GCA_BENCH_POINTS /
+GCA_BENCH_PROPOSALS / GCA_BENCH_ENC_BF16.
+"""
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gcanet_tpu.config import Config, InstanceHeadConfig
+    from gcanet_tpu.data.synthetic import synth_batch
+    from gcanet_tpu.models.primitive_net import PrimitiveNet
+    from gcanet_tpu.runtime_setup import enable_compilation_cache
+    from gcanet_tpu.train import step as step_lib
+
+    enable_compilation_cache()
+    batch = int(os.environ.get("GCA_BENCH_BATCH", "10"))
+    n_pts = int(os.environ.get("GCA_BENCH_POINTS", "8192"))
+    props = int(os.environ.get("GCA_BENCH_PROPOSALS", "0"))
+    head = InstanceHeadConfig(max_proposals=props) if props \
+        else InstanceHeadConfig()
+    enc_bf16 = bool(int(os.environ.get("GCA_BENCH_ENC_BF16", "0")))
+    cfg = Config(num_points=n_pts, batch_size=batch, max_instances=48,
+                 encoder_bf16=enc_bf16, instance_head=head)
+    model = PrimitiveNet(cfg)
+    tx = step_lib.make_optimizer(cfg)
+    state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
+    train_step = step_lib.make_train_step(cfg, model, tx)
+    arrays = {k: jnp.asarray(v) for k, v in
+              synth_batch(cfg, cfg.batch_size, seed=0).items() if k != "index"}
+    compiled = jax.jit(train_step).lower(
+        state, arrays, jax.random.PRNGKey(1)).compile()
+    text = compiled.as_text()
+
+    out = "/tmp/train_step_hlo.txt"
+    with open(out, "w") as f:
+        f.write(text)
+    print(f"wrote {out} ({len(text) / 1e6:.1f} MB)")
+
+    if len(sys.argv) > 1:
+        name = sys.argv[1]
+        # print the named computation (fused_computation body) plus the
+        # instruction that calls it
+        for line in text.splitlines():
+            if re.search(rf"\b{re.escape(name)}\b", line):
+                print(line[:400])
+
+
+if __name__ == "__main__":
+    main()
