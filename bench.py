@@ -38,8 +38,10 @@ def main():
     head = InstanceHeadConfig(max_proposals=props) if props \
         else InstanceHeadConfig()
     enc_bf16 = bool(int(os.environ.get("GCA_BENCH_ENC_BF16", "0")))
+    nn_nb = int(os.environ.get("GCA_BENCH_NN", "0"))  # 0 = config default (48)
     cfg = Config(num_points=n_pts, batch_size=batch, max_instances=48,
-                 encoder_bf16=enc_bf16, instance_head=head)
+                 encoder_bf16=enc_bf16, instance_head=head,
+                 **({"nn_nb": nn_nb} if nn_nb else {}))
     model = PrimitiveNet(cfg)
     tx = step_lib.make_optimizer(cfg)
     state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))

@@ -118,7 +118,13 @@ class Config:
 
     # --- TPU-native static-shape / perf knobs (new) ---
     num_points: int = 7000            # N per cloud (ABCDataset_new.py:120 subsample)
-    nn_nb: int = 80                   # encoder kNN (dgcnn-4.py:545 nn_nb)
+    # Encoder/embedding graph degree K (reference: dgcnn-4.py:545 nn_nb=80).
+    # TPU default 48: the [B,N,K,C] edge gathers/scatters are the step's
+    # index-count-bound floor, so K scales cost almost linearly — 48 gives
+    # +41% step throughput (22.5 vs 16.0 clouds/s) with step-1000 convergence
+    # matching K=80 on both the default and hard mixes (BASELINE.md round-2
+    # K-sweep).  `--nn_nb 80` restores strict reference parity.
+    nn_nb: int = 48
     offset_knn: int = 30              # OFFSET_PRED_MODULE nn_nb (dgcnn-4.py:552)
     offset_keypoints: int = 120       # OFFSET_PRED_MODULE sampling_ratio
     offset_variant: str = "kpam"      # "kpam" (dgcnn-4) | "dual" (dgcnn-2, nn_nb=60)

@@ -46,6 +46,9 @@ def main():
                     help="harder mix: 8-16 instances per object")
     ap.add_argument("--encoder-bf16", action="store_true",
                     help="bf16 edge-tensor compute in the DGCNN encoder")
+    ap.add_argument("--nn-nb", type=int, default=0,
+                    help="edge-conv/embedding graph degree K (0 = config "
+                         "default 80, the reference's nn_nb)")
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--eval-objects", type=int, default=8)
     ap.add_argument("--out", default="/tmp/convergence.jsonl")
@@ -67,7 +70,8 @@ def main():
                  max_instances=args.max_instances, knn_impl=knn_impl,
                  encoder_bf16=args.encoder_bf16,
                  instance_head=InstanceHeadConfig(
-                     max_proposals=args.max_proposals))
+                     max_proposals=args.max_proposals),
+                 **({"nn_nb": args.nn_nb} if args.nn_nb else {}))
     model = PrimitiveNet(cfg)
     tx = step_lib.make_optimizer(cfg)
     state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
