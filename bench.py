@@ -16,47 +16,67 @@ import json
 import os
 import time
 
-import jax
-import jax.numpy as jnp
-
-from gcanet_tpu.config import Config, GroupingConfig, InstanceHeadConfig
-from gcanet_tpu.data.synthetic import synth_batch
-from gcanet_tpu.models.primitive_net import PrimitiveNet
 from gcanet_tpu.runtime_setup import enable_compilation_cache
-from gcanet_tpu.train import step as step_lib
 
 A100_REFERENCE_CLOUDS_PER_SEC = 5.0  # documented estimate, see BASELINE.md
 
 
 def main():
+    # Fail fast if the TPU tunnel relay is dead: every jax call (even
+    # jax.devices()) would otherwise block FOREVER at 0% CPU with no error.
+    # Healthy runs pay ~1s (a port connect); only a dead-looking relay
+    # triggers the bounded out-of-process device probe.
+    if os.environ.get("GCA_PLATFORM", "") != "cpu":
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        import tpu_health
+
+        if not tpu_health.relay_alive() and not tpu_health.device_op_ok(60):
+            print(json.dumps({
+                "metric": "train_clouds_per_sec_per_chip_8k_pts",
+                "value": 0.0, "unit": "clouds/s", "vs_baseline": 0.0,
+                "error": "TPU tunnel relay dead (tools/tpu_health.py); "
+                         "bench not run",
+            }))
+            raise SystemExit(3)
     enable_compilation_cache()
+    # imports AFTER the guard + platform pinning: model/ops imports must not
+    # touch the (possibly dead) TPU before GCA_PLATFORM is applied
+    import jax
+    import jax.numpy as jnp
+
+    from gcanet_tpu.config import bench_config
+    from gcanet_tpu.data.synthetic import synth_batch
+    from gcanet_tpu.models.primitive_net import PrimitiveNet
+    from gcanet_tpu.train import step as step_lib
     # batch 10 is the single-chip sweet spot (re-swept at max_proposals=100:
     # B=10 -> 16.0, B=12 -> 15.1 clouds/s, B=16 OOM; BASELINE.md round-2 log)
-    batch = int(os.environ.get("GCA_BENCH_BATCH", "10"))
-    n_pts = int(os.environ.get("GCA_BENCH_POINTS", "8192"))
-    props = int(os.environ.get("GCA_BENCH_PROPOSALS", "0"))
-    head = InstanceHeadConfig(max_proposals=props) if props \
-        else InstanceHeadConfig()
-    enc_bf16 = bool(int(os.environ.get("GCA_BENCH_ENC_BF16", "0")))
-    nn_nb = int(os.environ.get("GCA_BENCH_NN", "0"))  # 0 = config default (48)
-    cfg = Config(num_points=n_pts, batch_size=batch, max_instances=48,
-                 encoder_bf16=enc_bf16, instance_head=head,
-                 **({"nn_nb": nn_nb} if nn_nb else {}))
+    cfg = bench_config()
     model = PrimitiveNet(cfg)
     tx = step_lib.make_optimizer(cfg)
     state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
-    train_step = step_lib.make_train_step(cfg, model, tx)
+    # GCA_BENCH_MESH=N measures the data-parallel shard_map path over an
+    # N-device mesh (psum-averaged grads over ICI); default is the driver's
+    # single-chip headline
+    mesh = step_lib.make_mesh(cfg)
+    train_step = step_lib.make_train_step(cfg, model, tx, mesh)
 
     batch = {k: jnp.asarray(v) for k, v in
              synth_batch(cfg, cfg.batch_size, seed=0).items() if k != "index"}
 
     rng = jax.random.PRNGKey(1)
+    if mesh is not None:
+        state = step_lib.replicate_to_mesh(state, mesh)
+        rng = step_lib.replicate_to_mesh(rng, mesh)
+        batch = step_lib.make_global_batch(
+            mesh, {k: jnp.asarray(v) for k, v in batch.items()})
     # compile + warmup (float() forces completion — the axon plugin's
     # block_until_ready returns without waiting)
     state, metrics = train_step(state, batch, rng)
     float(metrics["total_loss"])
 
-    n_iters = 10
+    n_iters = int(os.environ.get("GCA_BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     for i in range(n_iters):
         # per-step key derives from state.step inside the jit; a host-side
@@ -65,13 +85,18 @@ def main():
     float(metrics["total_loss"])
     dt = time.perf_counter() - t0
 
-    clouds_per_sec = cfg.batch_size * n_iters / dt
-    print(json.dumps({
+    n_dev = mesh.devices.size if mesh is not None else 1
+    clouds_per_sec = cfg.batch_size * n_iters / dt / n_dev
+    row = {
         "metric": "train_clouds_per_sec_per_chip_8k_pts",
         "value": round(clouds_per_sec, 3),
         "unit": "clouds/s",
         "vs_baseline": round(clouds_per_sec / A100_REFERENCE_CLOUDS_PER_SEC, 3),
-    }))
+    }
+    if n_dev > 1:
+        row["devices"] = n_dev
+        row["total_clouds_per_sec"] = round(clouds_per_sec * n_dev, 3)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -170,6 +170,35 @@ class Config:
         return dataclasses.replace(self, **kw)
 
 
+def bench_config() -> Config:
+    """The ONE bench workload config, from GCA_BENCH_* env knobs.
+
+    Shared by bench.py, tools/profile_step.py and tools/dump_hlo.py so a
+    profile/HLO dump always describes the same program the headline bench
+    measured (the three had already diverged once: profile defaulted B=8
+    while the bench ran B=10, and only the bench honoured GCA_BENCH_NN).
+
+    Knobs: GCA_BENCH_BATCH (10), GCA_BENCH_POINTS (8192),
+    GCA_BENCH_PROPOSALS (0 = InstanceHeadConfig default),
+    GCA_BENCH_ENC_BF16 (0), GCA_BENCH_NN (0 = Config default),
+    GCA_BENCH_MESH (1 = single device; N>1 = data-parallel mesh over N
+    devices, batch is the GLOBAL batch).
+    """
+    import os
+
+    props = int(os.environ.get("GCA_BENCH_PROPOSALS", "0"))
+    nn_nb = int(os.environ.get("GCA_BENCH_NN", "0"))
+    return Config(
+        num_points=int(os.environ.get("GCA_BENCH_POINTS", "8192")),
+        batch_size=int(os.environ.get("GCA_BENCH_BATCH", "10")),
+        max_instances=48,
+        encoder_bf16=bool(int(os.environ.get("GCA_BENCH_ENC_BF16", "0"))),
+        mesh_shape=os.environ.get("GCA_BENCH_MESH", "1"),
+        instance_head=(InstanceHeadConfig(max_proposals=props) if props
+                       else InstanceHeadConfig()),
+        **({"nn_nb": nn_nb} if nn_nb else {}))
+
+
 def _add_args(parser: argparse.ArgumentParser) -> None:
     """Register every option_new.py flag plus the TPU extras."""
     c = Config()

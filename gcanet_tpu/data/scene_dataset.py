@@ -275,21 +275,74 @@ class SceneDataset:
             "inst_cls": inst_cls,
         }
 
-    def batches(self, batch_size: int, shuffle: bool,
-                seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def batches(self, batch_size: int, shuffle: bool, seed: int = 0,
+                shard: tuple = (0, 1),
+                stride: tuple = (0, 1)) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield collated batches.
+
+        ``shard=(rank, world)``: each process loads + collates only its
+        contiguous chunk of every fixed global batch window (the multi-host
+        analogue of the reference's DistributedSampler — seed the SAME on
+        every process so the global order agrees).  Every rank yields exactly
+        ``len(self) // batch_size`` batches — crop failures are retried with
+        a re-salted RNG and finally padded from the chunk's other items, so
+        ranks never de-synchronise the collective feed (a skipped batch on
+        one rank would deadlock make_array_from_process_local_data).
+        ``stride=(rank, world)``: batch-level striding for eval (process
+        rank takes batches rank, rank+world, ...)."""
+        rank, world = shard
+        srank, sworld = stride
         rng = np.random.RandomState(seed)
         order = np.arange(len(self))
         if shuffle:
             rng.shuffle(order)
+        if world > 1:
+            from gcanet_tpu.parallel.dist import shard_bounds
+
+            lo, hi = shard_bounds(batch_size, rank, world)  # raises on indiv.
+        else:
+            lo, hi = 0, batch_size
+
+        def load(pos: int):
+            """Slot-deterministic load with bounded crop retries: depends
+            only on (seed, global slot, attempt) — never on other slots."""
+            i = int(order[pos])
+            for attempt in range(8):
+                it = self.get(i, np.random.RandomState(
+                    (seed * 100003 + pos + 29 * attempt) % (2 ** 31)))
+                if it is not None:
+                    return it
+            return None                    # crop failed (custom.py:226 skips)
+
+        if world > 1:
+            for bi, start in enumerate(
+                    range(0, len(order) - batch_size + 1, batch_size)):
+                if bi % sworld != srank:
+                    continue
+                items = [load(start + off) for off in range(lo, hi)]
+                ok = [it for it in items if it is not None]
+                if not ok:                 # pathological: all crops failed
+                    raise RuntimeError(
+                        f"every crop in shard ({rank}/{world}) of batch {bi} "
+                        f"failed after retries")
+                items = [it if it is not None else ok[0] for it in items]
+                yield self.collate(items)
+            return
+
+        # single process: reference semantics — failed crops are skipped and
+        # the batch fills from the next successful scenes
         items: List[Dict[str, np.ndarray]] = []
-        for i in order:
-            it = self.get(int(i), rng)
-            if it is None:                 # crop failed (custom.py:226 skips)
+        bi = 0
+        for pos in range(len(order)):
+            it = load(pos)
+            if it is None:
                 continue
             items.append(it)
             if len(items) == batch_size:
-                yield self.collate(items)
+                if bi % sworld == srank:
+                    yield self.collate(items)
                 items = []
+                bi += 1
 
     def collate(self, items: List[Dict[str, np.ndarray]]
                 ) -> Dict[str, np.ndarray]:

@@ -45,7 +45,11 @@ from gcanet_tpu.config import GroupingConfig
 from gcanet_tpu.ops import knn as knn_ops
 
 _BIG_F = 1e30
-_BIG_I = jnp.int32(2**30)
+# plain int, NOT jnp.int32(...): a module-level jnp scalar would initialise
+# the jax backend at import time (committing to the tunnelled TPU before any
+# entry point can pin GCA_PLATFORM=cpu — and hanging forever if the relay is
+# dead).  Weak-typed python ints bind to the surrounding int32 dtype anyway.
+_BIG_I = 2**30
 
 
 class Proposals(NamedTuple):

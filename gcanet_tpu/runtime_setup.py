@@ -5,9 +5,16 @@ import os
 
 def enable_compilation_cache(path: str = "/root/.cache/jax_comp_cache") -> None:
     """Persistent compilation cache — first full-model compile on the tunnelled
-    TPU takes minutes; the cache makes subsequent runs near-instant."""
+    TPU takes minutes; the cache makes subsequent runs near-instant.
+
+    Also applies ``GCA_PLATFORM`` (e.g. ``cpu``) if set: the axon TPU plugin
+    ignores ``JAX_PLATFORMS``, so this is the only env-level way to keep an
+    entry point (train_new.py, bench.py, tools/*) off the TPU."""
     import jax
 
+    plat = os.environ.get("GCA_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

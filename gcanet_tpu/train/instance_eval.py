@@ -75,7 +75,8 @@ class ScanNetEval:
         return instances
 
     # --------------------------------------------------------- per-scan pass
-    def assign_instances_for_scan(self, preds: List[Dict], gts: np.ndarray):
+    def assign_instances_for_scan(self, preds: List[Dict], gts: np.ndarray,
+                                  scan_idx: int = 0):
         """instance_eval.py:228-309 — intersect every prediction mask with
         every GT instance of its class; vectorised via bincount over the
         encoded-id array (exact same counts as the reference's per-pair
@@ -120,8 +121,12 @@ class ScanNetEval:
                 continue  # skip if empty/too small (instance_eval.py:275-276)
 
             pred_instance = {
-                "filename": "{}_{}".format(pred.get("scan_id", "scan"),
-                                           num_pred_instances),
+                # pred_visited (evaluate_matches) is keyed by this name
+                # across ALL scans — the fallback must be unique per scan or
+                # visiting "scan_0" in scan A would mute scan B's first pred
+                "filename": "{}_{}".format(
+                    pred.get("scan_id", f"scan{scan_idx}"),
+                    num_pred_instances),
                 "pred_id": num_pred_instances,
                 "label_id": label_id,
                 "vert_count": num,
@@ -325,7 +330,8 @@ class ScanNetEval:
         """
         matches = {}
         for i, (preds, gts) in enumerate(zip(pred_list, gt_list)):
-            gt2pred, pred2gt = self.assign_instances_for_scan(preds, gts)
+            gt2pred, pred2gt = self.assign_instances_for_scan(preds, gts,
+                                                              scan_idx=i)
             matches[f"gt_{i}"] = {"gt": gt2pred, "pred": pred2gt}
         ap_scores, rc_scores = self.evaluate_matches(matches)
         avgs = self.compute_averages(ap_scores, rc_scores)

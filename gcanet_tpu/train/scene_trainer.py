@@ -68,6 +68,10 @@ class SceneTrainer(Trainer):
         self.start_epoch = 0
         if not cfg.not_load_model:
             self.load_checkpoint()
+        if self.mesh is not None:
+            # as in Trainer.build_model_optimizer: a jit over a (possibly
+            # multi-host) mesh accepts only global arrays
+            self.state = step_lib.replicate_to_mesh(self.state, self.mesh)
 
     # ------------------------------------------------------------------- data
     def build_dataloaders(self):
@@ -130,26 +134,43 @@ class SceneTrainer(Trainer):
         return ".npz"
 
     def _train_batches(self, epoch: int):
+        """Per-process shard of every global batch, instance ids re-based so
+        the in-step axis_index rebase composes (see Trainer._train_batches)."""
         cfg = self.cfg
+        from gcanet_tpu.parallel.dist import get_dist_info, shard_bounds
+
+        rank, world = get_dist_info()
         if self.train_data is not None:
-            yield from self.train_data.batches(cfg.batch_size, shuffle=True,
-                                               seed=cfg.seed + epoch)
+            for batch in self.train_data.batches(cfg.batch_size, shuffle=True,
+                                                 seed=cfg.seed + epoch,
+                                                 shard=(rank, world)):
+                yield step_lib.rebase_local_batch(batch, rank, world,
+                                                  cfg.max_instances)
         else:
             from gcanet_tpu.data.synthetic import synth_scene_batch
 
+            lo, hi = shard_bounds(cfg.batch_size, rank, world)
             for i in range(32):
-                yield synth_scene_batch(cfg, cfg.batch_size,
-                                        seed=epoch * 1000 + i)
+                batch = synth_scene_batch(cfg, hi - lo,
+                                          seed=(epoch * 1000 + i) * world + rank)
+                yield step_lib.rebase_local_batch(batch, rank, world,
+                                                  cfg.max_instances)
 
     def _test_batches(self):
+        """Eval stream, rank-strided (results re-joined via collect_results)."""
         cfg = self.cfg
+        from gcanet_tpu.parallel.dist import get_dist_info
+
+        rank, world = get_dist_info()
         if self.test_data is not None:
-            yield from self.test_data.batches(1, shuffle=False)
+            yield from self.test_data.batches(1, shuffle=False,
+                                              stride=(rank, world))
         else:
             from gcanet_tpu.data.synthetic import synth_scene_batch
 
             for i in range(8):
-                yield synth_scene_batch(cfg, 1, seed=90000 + i)
+                if i % world == rank:
+                    yield synth_scene_batch(cfg, 1, seed=90000 + i)
 
     # ------------------------------------------------------------------- eval
     def test_one_epoch(self, epoch: int):
@@ -158,12 +179,19 @@ class SceneTrainer(Trainer):
         sem_stats: Dict[str, float] = {}
         cnt = 0
         self._results_rows = []
+        # the eval step is a plain (mesh-less) jit at batch 1; under
+        # multi-host the train state is a global array — evaluate on this
+        # process's local replica (same pattern as Trainer.test_one_epoch)
+        params, batch_stats = self.state.params, self.state.batch_stats
+        if self.mesh is not None and jax.process_count() > 1:
+            local = lambda x: x.addressable_data(0)  # noqa: E731
+            params = jax.tree.map(local, params)
+            batch_stats = jax.tree.map(local, batch_stats)
         for batch in self._test_batches():
             xyz = jnp.asarray(batch["xyz"])
             feats = jnp.asarray(batch["feats"])
             try:
-                dev = self.eval_step(
-                    self.state.params, self.state.batch_stats, xyz, feats)
+                dev = self.eval_step(params, batch_stats, xyz, feats)
             except Exception as e:                 # noqa: BLE001
                 self.logger.error(
                     f"error: {batch.get('index', ['?'])[0]}: {e}")
@@ -194,6 +222,20 @@ class SceneTrainer(Trainer):
             })
             cnt += 1
 
+        from gcanet_tpu.parallel.dist import collect_results, is_main_process
+
+        if jax.process_count() > 1:
+            # every process evaluated a rank-strided subset; AP matching
+            # needs the full scene set on every process
+            merged = collect_results([(sem_stats, cnt, scenes)])
+            sem_stats, cnt, scenes = {}, 0, []
+            for s, c, sc in merged:
+                cnt += c
+                scenes.extend(sc)
+                for k, v in s.items():
+                    sem_stats[k] = sem_stats.get(k, 0.0) + v
+            self._results_rows = collect_results(self._results_rows)
+
         # instance classes exclude the background column (cls C-1)
         class_ids = list(range(self.cls_offset,
                                cfg.num_primitives - 1 + self.cls_offset))
@@ -211,9 +253,10 @@ class SceneTrainer(Trainer):
         avg["pq"] = pq
         avg.update({k: float(v) for k, v in ap.items()
                     if isinstance(v, (int, float))})
-        self._write_results_csv(epoch, avg)
-        self.test_viz.log_scalars(avg, epoch)
-        self.logger.info("eval " + " ".join(
-            f"{k}: {v:.4f}" for k, v in sorted(avg.items())))
+        if is_main_process():
+            self._write_results_csv(epoch, avg)
+            self.test_viz.log_scalars(avg, epoch)
+            self.logger.info("eval " + " ".join(
+                f"{k}: {v:.4f}" for k, v in sorted(avg.items())))
         # (mIoU, AP50) drive the base class's best-checkpoint retention
         return avg.get("miou", 0.0), avg.get("all_ap_50%", 0.0)

@@ -120,10 +120,15 @@ def make_mesh(cfg: Config) -> Mesh | None:
     n = _mesh_size(cfg)
     if n <= 1:
         return None
-    from jax.experimental import mesh_utils
-
-    devices = jax.devices()[:n]
-    return Mesh(mesh_utils.create_device_mesh((n,), devices), ("data",))
+    # Explicit (process_index, id) order — NOT mesh_utils.create_device_mesh,
+    # which may reorder devices by physical topology.  The host-side instance
+    # id rebase (rebase_local_batch: + rank*local_b*max_instances) and the
+    # in-step unrebase (local_step: - axis_index('data')*shard_rows) cancel
+    # only if process r's devices occupy mesh slots [r*dpp, (r+1)*dpp); the
+    # explicit order guarantees that.  A 1-D data axis loses nothing: XLA
+    # ring-schedules the psum over ICI regardless of logical order.
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))[:n]
+    return Mesh(np.array(devices), ("data",))
 
 
 def rebase_local_batch(batch: Dict[str, Any], rank: int, world: int,
@@ -137,7 +142,8 @@ def rebase_local_batch(batch: Dict[str, Any], rank: int, world: int,
     offset so the two compose."""
     if world <= 1 or rank == 0:
         return batch
-    local_b = batch["gt_pc"].shape[0]
+    # works for both families: ABC batches lead with gt_pc, scenes with xyz
+    local_b = batch["gt_pc" if "gt_pc" in batch else "xyz"].shape[0]
     base = rank * local_b * max_instances
     ig = np.asarray(batch["I_gt_global"])
     return dict(batch, I_gt_global=np.where(ig >= 0, ig + base, -1))

@@ -244,8 +244,10 @@ class Trainer:
                                                   cfg.max_instances)
         else:
             from gcanet_tpu.data.synthetic import synth_batch
+            from gcanet_tpu.parallel.dist import shard_bounds
 
-            local_bs = cfg.batch_size // world
+            lo, hi = shard_bounds(cfg.batch_size, rank, world)  # raises if
+            local_bs = hi - lo                                  # indivisible
             for i in range(32):
                 batch = synth_batch(cfg, local_bs,
                                     seed=(epoch * 1000 + i) * world + rank)

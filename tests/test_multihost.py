@@ -148,3 +148,64 @@ def test_rebase_local_batch_rank0_and_negative_ids():
     expect = np.where(batch["I_gt_global"] >= 0,
                       batch["I_gt_global"] + 16, -1)
     np.testing.assert_array_equal(shifted["I_gt_global"], expect)
+
+
+def _mk_scene_root(tmp_path, n_scenes=8):
+    from tests.test_scene_dataset import _write_scene
+
+    d = tmp_path / "train"
+    d.mkdir()
+    for i in range(n_scenes):
+        _write_scene(d / f"scene{i:04d}.npz", seed=i)
+    return str(tmp_path)
+
+
+def _scene_cfg(root):
+    return Config(num_points=256, batch_size=4, max_instances=8,
+                  data_path=root,
+                  grouping=GroupingConfig(radius=0.1, min_npoint=5,
+                                          cc_max_iters=8),
+                  instance_head=InstanceHeadConfig(grid_size=8,
+                                                   max_proposals=8))
+
+
+def test_scene_sharded_batches_compose_to_global(tmp_path):
+    """Scene-family per-rank loading + rebase reproduces the single-process
+    global batch (same fixed windows, slot-deterministic crop RNG)."""
+    from gcanet_tpu.data import scene_dataset as sd
+
+    root = _mk_scene_root(tmp_path)
+    cfg = _scene_cfg(root)
+    ds = sd.SceneDataset(root, "train", ".npz", cfg, training=True,
+                         max_npoint=10000, min_npoint=10)
+
+    world = 2
+    full = list(ds.batches(4, shuffle=True, seed=3))
+    parts = [list(ds.batches(4, shuffle=True, seed=3, shard=(r, world)))
+             for r in range(world)]
+    assert len(full) >= 1
+    assert all(len(p) == len(full) for p in parts)  # aligned counts
+    for bi, g in enumerate(full):
+        locs = [step_lib.rebase_local_batch(parts[r][bi], r, world,
+                                            cfg.max_instances)
+                for r in range(world)]
+        for key in g:
+            if key == "index":
+                assert sum((p["index"] for p in locs), []) == g["index"]
+                continue
+            cat = np.concatenate([np.asarray(p[key]) for p in locs])
+            np.testing.assert_array_equal(cat, np.asarray(g[key]), err_msg=key)
+
+
+def test_scene_eval_stride_partitions_batches(tmp_path):
+    from gcanet_tpu.data import scene_dataset as sd
+
+    root = _mk_scene_root(tmp_path, n_scenes=6)
+    cfg = _scene_cfg(root)
+    ds = sd.SceneDataset(root, "train", ".npz", cfg, training=False,
+                         max_npoint=10000, min_npoint=10)
+    full = [b["index"][0] for b in ds.batches(1, shuffle=False)]
+    strided = [[b["index"][0]
+                for b in ds.batches(1, shuffle=False, stride=(r, 2))]
+               for r in range(2)]
+    assert strided[0] == full[0::2] and strided[1] == full[1::2]

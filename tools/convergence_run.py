@@ -47,8 +47,9 @@ def main():
     ap.add_argument("--encoder-bf16", action="store_true",
                     help="bf16 edge-tensor compute in the DGCNN encoder")
     ap.add_argument("--nn-nb", type=int, default=0,
-                    help="edge-conv/embedding graph degree K (0 = config "
-                         "default 80, the reference's nn_nb)")
+                    help="edge-conv/embedding graph degree K (0 = Config "
+                         "default, 48 since the round-2 K-sweep; pass 80 "
+                         "for the reference's nn_nb)")
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--eval-objects", type=int, default=8)
     ap.add_argument("--out", default="/tmp/convergence.jsonl")
@@ -105,10 +106,22 @@ def main():
     rng = jax.random.PRNGKey(1)
     t0 = time.time()
     log = open(args.out, "w")
+
     # fresh batch every step (the round-1 protocol that set the 0.94/1.00
     # baseline, docs/production_convergence_v2.log) — a small cached pool
     # measurably overfits: 16 batches round-robin plateaued held-out mIoU at
-    # ~0.85 where fresh batches reach ~0.94
+    # ~0.85 where fresh batches reach ~0.94.  Host-side generation + upload
+    # overlaps device compute via the trainer's prefetch thread (a
+    # synchronous jnp.asarray between dispatches stalls the tunnelled
+    # dispatch pipeline — CLAUDE.md environment rules).
+    from gcanet_tpu.train.trainer import prefetch_to_device
+
+    def batch_gen():
+        for step in range(args.steps):
+            yield {k: v for k, v in make_batch(cfg, 1000 + step).items()
+                   if k != "index"}
+
+    batches = prefetch_to_device(batch_gen())
     for step in range(args.steps + 1):
         if step % args.eval_every == 0:
             miou, tmiou = evaluate()
@@ -119,9 +132,7 @@ def main():
             log.write(json.dumps(row) + "\n")
             log.flush()
         if step < args.steps:
-            batch = {k: jnp.asarray(v) for k, v in
-                     make_batch(cfg, 1000 + step).items() if k != "index"}
-            state, metrics = train_step(state, batch, rng)
+            state, metrics = train_step(state, next(batches), rng)
     print("done")
     log.close()
 

@@ -7,8 +7,9 @@ ops/shapes.  Usage:
     python tools/dump_hlo.py                    # writes /tmp/train_step_hlo.txt
     python tools/dump_hlo.py fusion.51          # prints that computation only
 
-Env knobs mirror bench.py: GCA_BENCH_BATCH / GCA_BENCH_POINTS /
-GCA_BENCH_PROPOSALS / GCA_BENCH_ENC_BF16.
+Env knobs are the shared bench workload (gcanet_tpu.config.bench_config):
+GCA_BENCH_BATCH / GCA_BENCH_POINTS / GCA_BENCH_PROPOSALS /
+GCA_BENCH_ENC_BF16 / GCA_BENCH_NN.
 """
 
 import os
@@ -22,21 +23,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gcanet_tpu.config import Config, InstanceHeadConfig
+    from gcanet_tpu.config import bench_config
     from gcanet_tpu.data.synthetic import synth_batch
     from gcanet_tpu.models.primitive_net import PrimitiveNet
     from gcanet_tpu.runtime_setup import enable_compilation_cache
     from gcanet_tpu.train import step as step_lib
 
     enable_compilation_cache()
-    batch = int(os.environ.get("GCA_BENCH_BATCH", "10"))
-    n_pts = int(os.environ.get("GCA_BENCH_POINTS", "8192"))
-    props = int(os.environ.get("GCA_BENCH_PROPOSALS", "0"))
-    head = InstanceHeadConfig(max_proposals=props) if props \
-        else InstanceHeadConfig()
-    enc_bf16 = bool(int(os.environ.get("GCA_BENCH_ENC_BF16", "0")))
-    cfg = Config(num_points=n_pts, batch_size=batch, max_instances=48,
-                 encoder_bf16=enc_bf16, instance_head=head)
+    cfg = bench_config()
     model = PrimitiveNet(cfg)
     tx = step_lib.make_optimizer(cfg)
     state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))

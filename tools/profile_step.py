@@ -5,22 +5,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # profiling driver: pairs with tools/parse_trace.py
 import jax, jax.numpy as jnp
-from gcanet_tpu.config import Config
 from gcanet_tpu.data.synthetic import synth_batch
 from gcanet_tpu.models.primitive_net import PrimitiveNet
 from gcanet_tpu.runtime_setup import enable_compilation_cache
 from gcanet_tpu.train import step as step_lib
 
 enable_compilation_cache()
-# knobs mirror bench.py so profiles match the bench config
-from gcanet_tpu.config import InstanceHeadConfig
-_props = int(os.environ.get("GCA_BENCH_PROPOSALS", "0"))
-cfg = Config(num_points=int(os.environ.get("GCA_BENCH_POINTS", "8192")),
-             batch_size=int(os.environ.get("GCA_BENCH_BATCH", "8")),
-             max_instances=48,
-             encoder_bf16=bool(int(os.environ.get("GCA_BENCH_ENC_BF16", "0"))),
-             instance_head=InstanceHeadConfig(max_proposals=_props)
-             if _props else InstanceHeadConfig())
+# the shared bench workload (same GCA_BENCH_* knobs as bench.py/dump_hlo.py)
+from gcanet_tpu.config import bench_config
+cfg = bench_config()
 model = PrimitiveNet(cfg)
 tx = step_lib.make_optimizer(cfg)
 state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))

@@ -1,0 +1,93 @@
+"""Serving throughput bench: forward, predict() and predict_batch paths.
+
+Prints one JSON line per measured path.  This formalises the ad-hoc serving
+measurements behind BASELINE.md's inference numbers so a config change (e.g.
+the round-2 nn_nb 80->48 default) is a one-command re-measure.
+
+Knobs (same family as the train bench, gcanet_tpu.config.bench_config):
+GCA_BENCH_POINTS (8192), GCA_BENCH_BATCH (8, the batched paths),
+GCA_BENCH_NN (0 = Config default), GCA_PLATFORM (cpu to stay off the TPU).
+
+Run: python tools/serve_bench.py [--iters 20] [--paths fwd,predict,batch]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gcanet_tpu.runtime_setup import enable_compilation_cache
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--paths", default="fwd,predict,batch",
+                    help="comma subset of fwd,predict,batch")
+    args = ap.parse_args()
+    enable_compilation_cache()
+
+    import jax
+    import numpy as np
+
+    from gcanet_tpu.config import bench_config
+    from gcanet_tpu.data.synthetic import synth_batch
+    from gcanet_tpu.serve import Predictor
+
+    cfg = bench_config().replace(using_set_aggr=True)
+    b = cfg.batch_size
+    pred = Predictor(cfg)
+
+    batch = synth_batch(cfg, b, seed=0)
+    xyz = np.asarray(batch["gt_pc"], np.float32)
+    nrm = np.asarray(batch["gt_normal"], np.float32)
+    paths = set(args.paths.split(","))
+
+    def emit(metric, clouds, dt):
+        print(json.dumps({
+            "metric": metric,
+            "value": round(clouds / dt, 3),
+            "unit": "clouds/s",
+            "config": {"points": cfg.num_points, "batch": b,
+                       "nn_nb": cfg.nn_nb, "iters": args.iters},
+        }), flush=True)
+
+    if "fwd" in paths:
+        import jax.numpy as jnp
+
+        x1, n1 = jnp.asarray(xyz[:1]), jnp.asarray(nrm[:1])
+        xb, nb = jnp.asarray(xyz), jnp.asarray(nrm)
+        for label, (xx, nn) in (("1", (x1, n1)), (str(b), (xb, nb))):
+            out = pred._forward(pred.state.params, pred.state.batch_stats,
+                                xx, nn)
+            float(out.semantic_scores.sum())       # force completion (axon)
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = pred._forward(pred.state.params, pred.state.batch_stats,
+                                    xx, nn)
+            float(out.semantic_scores.sum())
+            emit(f"serve_forward_clouds_per_sec_b{label}",
+                 xx.shape[0] * args.iters, time.perf_counter() - t0)
+
+    if "predict" in paths:
+        pred.predict(xyz[0], nrm[0])               # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            pred.predict(xyz[0], nrm[0])
+        emit("serve_predict_clouds_per_sec_b1", args.iters,
+             time.perf_counter() - t0)
+
+    if "batch" in paths:
+        pred.predict_batch(xyz, nrm)               # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            pred.predict_batch(xyz, nrm)
+        emit(f"serve_predict_batch_clouds_per_sec_b{b}", b * args.iters,
+             time.perf_counter() - t0)
+
+
+if __name__ == "__main__":
+    main()
