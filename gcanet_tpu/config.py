@@ -36,6 +36,13 @@ class GroupingConfig:
     high_frac: float = 0.3            # primary threshold (hierarchical_aggregation.cpp:61)
     set_aggr_r_coeff: float = 0.01    # r_set = coeff * sqrt(primary_npoint) (hierarchical_aggregation.cu:51)
     cc_max_iters: int = 64            # label-propagation budget for connected components
+    # "map" (default): sequential lax.map over batch items — one N x N working
+    # set at a time, every CC while-loop exits as soon as ITS item converges.
+    # "vmap": batch the graphs/CC sweeps across items — B x N x N working set,
+    # the slowest item gates every iteration.  Measured -3% at B=10/p=200/K=80
+    # (BASELINE.md round-1 rejects); re-testable at new defaults via
+    # GCA_BENCH_GROUP_VMAP=1.
+    item_batch_mode: str = "map"
 
 
 @dataclasses.dataclass
@@ -182,18 +189,23 @@ def bench_config() -> Config:
     GCA_BENCH_PROPOSALS (0 = InstanceHeadConfig default),
     GCA_BENCH_ENC_BF16 (0), GCA_BENCH_NN (0 = Config default),
     GCA_BENCH_MESH (1 = single device; N>1 = data-parallel mesh over N
-    devices, batch is the GLOBAL batch).
+    devices, batch is the GLOBAL batch),
+    GCA_BENCH_GROUP_VMAP (0; 1 = batched grouping/CC sweeps across items).
+    bench.py additionally reads GCA_BENCH_ITERS (10, timed steps).
     """
     import os
 
     props = int(os.environ.get("GCA_BENCH_PROPOSALS", "0"))
     nn_nb = int(os.environ.get("GCA_BENCH_NN", "0"))
+    group_vmap = bool(int(os.environ.get("GCA_BENCH_GROUP_VMAP", "0")))
     return Config(
         num_points=int(os.environ.get("GCA_BENCH_POINTS", "8192")),
         batch_size=int(os.environ.get("GCA_BENCH_BATCH", "10")),
         max_instances=48,
         encoder_bf16=bool(int(os.environ.get("GCA_BENCH_ENC_BF16", "0"))),
         mesh_shape=os.environ.get("GCA_BENCH_MESH", "1"),
+        grouping=(GroupingConfig(item_batch_mode="vmap") if group_vmap
+                  else GroupingConfig()),
         instance_head=(InstanceHeadConfig(max_proposals=props) if props
                        else InstanceHeadConfig()),
         **({"nn_nb": nn_nb} if nn_nb else {}))

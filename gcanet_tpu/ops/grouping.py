@@ -201,9 +201,16 @@ def build_proposals(
         csize, size_at_root, center_at_root = _cc_stats(labels, shifted_i)
         return labels, csize, size_at_root, center_at_root, class_valid
 
-    # Sequential map over batch items bounds peak memory at one N x N working set.
-    labels, csize, size_at_root, center_at_root, class_valid = jax.lax.map(
-        per_item, (shifted, cls, emb, param))
+    # Sequential map over batch items bounds peak memory at one N x N working
+    # set and lets each item's CC while-loop exit independently; "vmap" batches
+    # the sweeps instead (GroupingConfig.item_batch_mode — a measured reject at
+    # the old defaults, kept one knob away for re-testing).
+    if cfg.item_batch_mode == "vmap":
+        labels, csize, size_at_root, center_at_root, class_valid = jax.vmap(
+            per_item)((shifted, cls, emb, param))
+    else:
+        labels, csize, size_at_root, center_at_root, class_valid = jax.lax.map(
+            per_item, (shifted, cls, emb, param))
 
     flat_cls = jnp.clip(cls, 0, num_classes - 1)                  # [B, N]
     cmean = mean_tbl[flat_cls]                                    # [B, N]

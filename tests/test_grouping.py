@@ -207,3 +207,25 @@ def test_proposal_cap_larger_than_point_count():
     assert not np.asarray(props.valid)[6:].any()    # padded slots invalid
     pid = np.asarray(props.point_pid)
     assert (pid[0] >= 0).all() and (pid[0] < 6).all()
+
+
+def test_item_batch_mode_vmap_matches_map():
+    """GroupingConfig.item_batch_mode='vmap' (batched CC sweeps) must produce
+    the identical Proposals as the default sequential lax.map path — it is a
+    perf A/B knob (GCA_BENCH_GROUP_VMAP), not a semantic one."""
+    a = _make_inputs(seed=0)
+    b = _make_inputs(seed=3)
+    batch = [np.stack([x, y]) for x, y in zip(a, b)]
+    shifted, cls, emb, param = (jnp.asarray(v) for v in batch)
+    kw = dict(num_classes=3, max_proposals=16, using_set_aggr=True)
+    base = GroupingConfig(radius=0.1, min_npoint=5,
+                          class_numpoint_mean=(100.0, 100.0, 100.0))
+    p_map = G.build_proposals(shifted, cls, emb, param, cfg=base, **kw)
+    import dataclasses
+    p_vmap = G.build_proposals(
+        shifted, cls, emb, param,
+        cfg=dataclasses.replace(base, item_batch_mode="vmap"), **kw)
+    for name in p_map._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(p_map, name)),
+            np.asarray(getattr(p_vmap, name)), err_msg=name)
