@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Real multi-process smoke of the multi-host training path.
+
+Launch N copies of this script (one per "host"), each with:
+  GCA_COORDINATOR=127.0.0.1:<port>  GCA_NUM_PROCESSES=N  GCA_PROCESS_ID=i
+  XLA_FLAGS=--xla_force_host_platform_device_count=<devices per process>
+
+Each process then exercises exactly what a multi-host trainer run does —
+jax.distributed init from env, a global (process, id)-ordered mesh over ALL
+processes' devices, per-process shard loading + instance-id rebase, a
+shard_map train step with psum'd grads over global arrays, collect_results
+and the count-weighted AverageMeter — and prints MULTIHOST_SMOKE_OK.
+
+This is the one path the single-process test suite can only simulate
+(tests/test_multihost.py checks the rank algebra); here the gRPC coordinator,
+make_array_from_process_local_data and the cross-process allgathers actually
+run.  tests/test_multihost_real.py drives it as subprocesses.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # ad-hoc script: pin explicitly
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    from gcanet_tpu.parallel.dist import (AverageMeter, collect_results,
+                                          get_dist_info, maybe_init_from_env)
+
+    assert maybe_init_from_env(), "GCA_* env not set"
+    rank, world = get_dist_info()
+    assert world == int(os.environ["GCA_NUM_PROCESSES"])
+
+    from gcanet_tpu.config import Config, GroupingConfig, InstanceHeadConfig
+    from gcanet_tpu.data.synthetic import synth_batch
+    from gcanet_tpu.train import step as step_lib
+
+    n_dev = jax.device_count()              # global, across processes
+    cfg = Config(num_points=96, batch_size=n_dev, nn_nb=8, offset_knn=4,
+                 offset_keypoints=12, max_instances=8, mesh_shape=str(n_dev),
+                 grouping=GroupingConfig(radius=0.1, min_npoint=5,
+                                         cc_max_iters=8),
+                 instance_head=InstanceHeadConfig(grid_size=8,
+                                                  max_proposals=8))
+    from gcanet_tpu.models.primitive_net import PrimitiveNet
+
+    model = PrimitiveNet(cfg)
+    tx = step_lib.make_optimizer(cfg)
+    state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
+    mesh = step_lib.make_mesh(cfg)
+    assert mesh is not None and mesh.devices.size == n_dev
+    train_step = step_lib.make_train_step(cfg, model, tx, mesh)
+
+    # per-process shard: same slicing the Trainer does (_train_batches)
+    local_bs = cfg.batch_size // world
+    local = {k: np.asarray(v) for k, v in
+             synth_batch(cfg, local_bs, seed=100 + rank).items()
+             if k != "index"}
+    local = step_lib.rebase_local_batch(local, rank, world, cfg.max_instances)
+
+    state = step_lib.replicate_to_mesh(state, mesh)
+    rng = step_lib.replicate_to_mesh(jax.random.PRNGKey(1), mesh)
+    batch = step_lib.make_global_batch(mesh, local)
+
+    losses = []
+    for _ in range(2):
+        state, metrics = train_step(state, batch, rng)
+        losses.append(float(metrics["total_loss"]))
+    assert all(l == l for l in losses), f"NaN loss: {losses}"
+
+    # cross-process result gather (pickle-pad allgather) with asymmetric
+    # payloads per rank
+    merged = collect_results([{"rank": rank, "pad": "x" * (10 + 97 * rank)}])
+    assert sorted(m["rank"] for m in merged) == list(range(world)), merged
+
+    # count-weighted average: rank r contributes value r with count (r+1)
+    meter = AverageMeter(apply_dist_reduce=True)
+    meter.update(float(rank), n=rank + 1)
+    expect = (sum(r * (r + 1) for r in range(world))
+              / sum(r + 1 for r in range(world)))
+    got = meter.get_avg()
+    assert abs(got - expect) < 1e-6, (got, expect)
+
+    print(f"MULTIHOST_SMOKE_OK rank={rank}/{world} devices={n_dev} "
+          f"losses={losses[0]:.4f},{losses[1]:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
