@@ -25,7 +25,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_train_step_and_gathers():
+import pytest
+
+
+@pytest.mark.parametrize("family", ["abc", "scene"])
+def test_two_process_train_step_and_gathers(family):
     port = _free_port()
     world = 2
     procs = []
@@ -40,7 +44,7 @@ def test_two_process_train_step_and_gathers():
         # the conftest pins 8 virtual devices via XLA_FLAGS for THIS process;
         # the children get their own 2-device flag (set above)
         procs.append(subprocess.Popen(
-            [sys.executable, str(SCRIPT)], env=env, cwd=str(ROOT),
+            [sys.executable, str(SCRIPT), family], env=env, cwd=str(ROOT),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = []
     for p in procs:

@@ -31,6 +31,7 @@ import numpy as np  # noqa: E402
 
 
 def main():
+    family = sys.argv[1] if len(sys.argv) > 1 else "abc"
     from gcanet_tpu.parallel.dist import (AverageMeter, collect_results,
                                           get_dist_info, maybe_init_from_env)
 
@@ -39,8 +40,8 @@ def main():
     assert world == int(os.environ["GCA_NUM_PROCESSES"])
 
     from gcanet_tpu.config import Config, GroupingConfig, InstanceHeadConfig
-    from gcanet_tpu.data.synthetic import synth_batch
-    from gcanet_tpu.train import step as step_lib
+    from gcanet_tpu.data.synthetic import synth_batch, synth_scene_batch
+    from gcanet_tpu.train import scene_step, step as step_lib
 
     n_dev = jax.device_count()              # global, across processes
     cfg = Config(num_points=96, batch_size=n_dev, nn_nb=8, offset_knn=4,
@@ -49,20 +50,31 @@ def main():
                                          cc_max_iters=8),
                  instance_head=InstanceHeadConfig(grid_size=8,
                                                   max_proposals=8))
-    from gcanet_tpu.models.primitive_net import PrimitiveNet
-
-    model = PrimitiveNet(cfg)
     tx = step_lib.make_optimizer(cfg)
-    state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
     mesh = step_lib.make_mesh(cfg)
     assert mesh is not None and mesh.devices.size == n_dev
-    train_step = step_lib.make_train_step(cfg, model, tx, mesh)
-
-    # per-process shard: same slicing the Trainer does (_train_batches)
     local_bs = cfg.batch_size // world
-    local = {k: np.asarray(v) for k, v in
-             synth_batch(cfg, local_bs, seed=100 + rank).items()
-             if k != "index"}
+    if family == "scene":
+        # mirrors SceneTrainer: scene model/step + scene synthetic shards
+        from gcanet_tpu.models.softgroup_scene import SoftGroupNet
+
+        model = SoftGroupNet(cfg, scene_grid=8, channels=8)
+        state = scene_step.init_scene_state(cfg, model, tx,
+                                            jax.random.PRNGKey(0))
+        train_step = scene_step.make_scene_train_step(cfg, model, tx, mesh)
+        local = {k: np.asarray(v) for k, v in
+                 synth_scene_batch(cfg, local_bs, seed=100 + rank).items()
+                 if k != "index"}
+    else:
+        from gcanet_tpu.models.primitive_net import PrimitiveNet
+
+        model = PrimitiveNet(cfg)
+        state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
+        train_step = step_lib.make_train_step(cfg, model, tx, mesh)
+        # per-process shard: same slicing the Trainer does (_train_batches)
+        local = {k: np.asarray(v) for k, v in
+                 synth_batch(cfg, local_bs, seed=100 + rank).items()
+                 if k != "index"}
     local = step_lib.rebase_local_batch(local, rank, world, cfg.max_instances)
 
     state = step_lib.replicate_to_mesh(state, mesh)
@@ -88,8 +100,9 @@ def main():
     got = meter.get_avg()
     assert abs(got - expect) < 1e-6, (got, expect)
 
-    print(f"MULTIHOST_SMOKE_OK rank={rank}/{world} devices={n_dev} "
-          f"losses={losses[0]:.4f},{losses[1]:.4f}", flush=True)
+    print(f"MULTIHOST_SMOKE_OK family={family} rank={rank}/{world} "
+          f"devices={n_dev} losses={losses[0]:.4f},{losses[1]:.4f}",
+          flush=True)
 
 
 if __name__ == "__main__":
