@@ -62,15 +62,18 @@ def main():
     mesh = step_lib.make_mesh(cfg)
     train_step = step_lib.make_train_step(cfg, model, tx, mesh)
 
-    batch = {k: jnp.asarray(v) for k, v in
+    batch = {k: v for k, v in
              synth_batch(cfg, cfg.batch_size, seed=0).items() if k != "index"}
 
     rng = jax.random.PRNGKey(1)
     if mesh is not None:
         state = step_lib.replicate_to_mesh(state, mesh)
         rng = step_lib.replicate_to_mesh(rng, mesh)
-        batch = step_lib.make_global_batch(
-            mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+        # numpy straight to the mesh — jnp.asarray first would device_put to
+        # chip 0 and fetch back through the tunnel inside make_global_batch
+        batch = step_lib.make_global_batch(mesh, batch)
+    else:
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
     # compile + warmup (float() forces completion — the axon plugin's
     # block_until_ready returns without waiting)
     state, metrics = train_step(state, batch, rng)

@@ -179,14 +179,7 @@ class SceneTrainer(Trainer):
         sem_stats: Dict[str, float] = {}
         cnt = 0
         self._results_rows = []
-        # the eval step is a plain (mesh-less) jit at batch 1; under
-        # multi-host the train state is a global array — evaluate on this
-        # process's local replica (same pattern as Trainer.test_one_epoch)
-        params, batch_stats = self.state.params, self.state.batch_stats
-        if self.mesh is not None and jax.process_count() > 1:
-            local = lambda x: x.addressable_data(0)  # noqa: E731
-            params = jax.tree.map(local, params)
-            batch_stats = jax.tree.map(local, batch_stats)
+        params, batch_stats = self._local_eval_params()
         for batch in self._test_batches():
             xyz = jnp.asarray(batch["xyz"])
             feats = jnp.asarray(batch["feats"])
@@ -222,19 +215,11 @@ class SceneTrainer(Trainer):
             })
             cnt += 1
 
-        from gcanet_tpu.parallel.dist import collect_results, is_main_process
+        from gcanet_tpu.parallel.dist import is_main_process
 
-        if jax.process_count() > 1:
-            # every process evaluated a rank-strided subset; AP matching
-            # needs the full scene set on every process
-            merged = collect_results([(sem_stats, cnt, scenes)])
-            sem_stats, cnt, scenes = {}, 0, []
-            for s, c, sc in merged:
-                cnt += c
-                scenes.extend(sc)
-                for k, v in s.items():
-                    sem_stats[k] = sem_stats.get(k, 0.0) + v
-            self._results_rows = collect_results(self._results_rows)
+        # AP matching needs the full scene set on every process
+        sem_stats, cnt, scenes = self._merge_eval_results(sem_stats, cnt,
+                                                          scenes)
 
         # instance classes exclude the background column (cls C-1)
         class_ids = list(range(self.cls_offset,

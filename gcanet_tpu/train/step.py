@@ -127,8 +127,12 @@ def make_mesh(cfg: Config) -> Mesh | None:
     # only if process r's devices occupy mesh slots [r*dpp, (r+1)*dpp); the
     # explicit order guarantees that.  A 1-D data axis loses nothing: XLA
     # ring-schedules the psum over ICI regardless of logical order.
-    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))[:n]
-    return Mesh(np.array(devices), ("data",))
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    if len(devices) < n:
+        raise ValueError(
+            f"mesh_shape={n} but only {len(devices)} device(s) visible — "
+            f"refusing to silently train on a smaller mesh")
+    return Mesh(np.array(devices[:n]), ("data",))
 
 
 def rebase_local_batch(batch: Dict[str, Any], rank: int, world: int,

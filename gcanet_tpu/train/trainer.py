@@ -322,19 +322,44 @@ class Trainer:
                 step_t0 = time.time()
         return n_batches
 
-    def test_one_epoch(self, epoch: int):
-        cfg = self.cfg
-        stat: Dict[str, float] = {}
-        cnt = 0
-        self._results_rows = []
-        # the eval step is a plain (mesh-less) jit at batch 1; under
-        # multi-host the train state is a global array — evaluate on this
-        # process's local replica
+    def _local_eval_params(self):
+        """(params, batch_stats) usable by the plain (mesh-less) batch-1 eval
+        jit: under multi-host the train state is a global array, so evaluate
+        on this process's local replica."""
         params, batch_stats = self.state.params, self.state.batch_stats
         if self.mesh is not None and jax.process_count() > 1:
             local = lambda x: x.addressable_data(0)  # noqa: E731
             params = jax.tree.map(local, params)
             batch_stats = jax.tree.map(local, batch_stats)
+        return params, batch_stats
+
+    def _merge_eval_results(self, stat: Dict[str, float], cnt: int,
+                            extra: Optional[list] = None):
+        """Merge rank-strided eval outputs across processes (every process
+        evaluated a subset; softgroup/util/dist.py:51-76 collect pattern):
+        sums the stat dicts and counts, concatenates the optional extra list,
+        and re-joins self._results_rows.  Identity single-process."""
+        if jax.process_count() == 1:
+            return (stat, cnt, extra) if extra is not None else (stat, cnt)
+        from gcanet_tpu.parallel.dist import collect_results
+
+        merged = collect_results([(stat, cnt, extra)])
+        stat, cnt, extras = {}, 0, []
+        for s, c, e in merged:
+            cnt += c
+            if e is not None:
+                extras.extend(e)
+            for k, v in s.items():
+                stat[k] = stat.get(k, 0.0) + v
+        self._results_rows = collect_results(self._results_rows)
+        return (stat, cnt, extras) if extra is not None else (stat, cnt)
+
+    def test_one_epoch(self, epoch: int):
+        cfg = self.cfg
+        stat: Dict[str, float] = {}
+        cnt = 0
+        self._results_rows = []
+        params, batch_stats = self._local_eval_params()
         for batch in self._test_batches():
             arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
             try:
@@ -365,18 +390,9 @@ class Trainer:
                 "miou": round(miou, 3), "type_miou": round(type_miou, 3),
             })
             cnt += 1
-        from gcanet_tpu.parallel.dist import collect_results, is_main_process
+        from gcanet_tpu.parallel.dist import is_main_process
 
-        if jax.process_count() > 1:
-            # every process evaluated a rank-strided subset; merge sums/rows
-            # to all processes (softgroup/util/dist.py:51-76 collect pattern)
-            merged_stats = collect_results([(stat, cnt)])
-            stat, cnt = {}, 0
-            for s, c in merged_stats:
-                cnt += c
-                for k, v in s.items():
-                    stat[k] = stat.get(k, 0.0) + v
-            self._results_rows = collect_results(self._results_rows)
+        stat, cnt = self._merge_eval_results(stat, cnt)
         avg = {k: v / max(cnt, 1) for k, v in stat.items()}
         if is_main_process():
             self._write_results_csv(epoch, avg)

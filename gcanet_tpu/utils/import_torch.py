@@ -325,8 +325,8 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray],
         (skipped if any(s in k for s in _EXPECTED_SKIPS)
          else unmatched).append(k)
     missing = ["/".join(p) for p in
-               set(p_flat) | set(bs_flat) - mapped_flax
-               if p not in mapped_flax and p[-1] != "count"]
+               (set(p_flat) | set(bs_flat)) - mapped_flax
+               if p[-1] != "count"]
     # params never present in the reference (our grouping/vox path is
     # parameter-free; anything left over is genuinely uncovered)
     report = ConvertReport(sorted(mapped_torch), sorted(skipped),

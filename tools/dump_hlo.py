@@ -9,7 +9,7 @@ ops/shapes.  Usage:
 
 Env knobs are the shared bench workload (gcanet_tpu.config.bench_config):
 GCA_BENCH_BATCH / GCA_BENCH_POINTS / GCA_BENCH_PROPOSALS /
-GCA_BENCH_ENC_BF16 / GCA_BENCH_NN.
+GCA_BENCH_ENC_BF16 / GCA_BENCH_NN / GCA_BENCH_MESH / GCA_BENCH_GROUP_VMAP.
 """
 
 import os
@@ -34,11 +34,20 @@ def main():
     model = PrimitiveNet(cfg)
     tx = step_lib.make_optimizer(cfg)
     state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
-    train_step = step_lib.make_train_step(cfg, model, tx)
-    arrays = {k: jnp.asarray(v) for k, v in
+    # honour GCA_BENCH_MESH so the dump describes the same program the bench
+    # measured (bench_config's contract)
+    mesh = step_lib.make_mesh(cfg)
+    train_step = step_lib.make_train_step(cfg, model, tx, mesh)
+    arrays = {k: v for k, v in
               synth_batch(cfg, cfg.batch_size, seed=0).items() if k != "index"}
-    compiled = jax.jit(train_step).lower(
-        state, arrays, jax.random.PRNGKey(1)).compile()
+    rng = jax.random.PRNGKey(1)
+    if mesh is not None:
+        state = step_lib.replicate_to_mesh(state, mesh)
+        rng = step_lib.replicate_to_mesh(rng, mesh)
+        arrays = step_lib.make_global_batch(mesh, arrays)
+    else:
+        arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+    compiled = jax.jit(train_step).lower(state, arrays, rng).compile()
     text = compiled.as_text()
 
     out = "/tmp/train_step_hlo.txt"

@@ -34,6 +34,9 @@ def main():
                          "forward pass with the result")
     args = ap.parse_args()
 
+    from gcanet_tpu.runtime_setup import enable_compilation_cache
+
+    enable_compilation_cache()          # applies GCA_PLATFORM (tools contract)
     import jax
 
     if args.cpu or args.selftest:

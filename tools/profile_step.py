@@ -17,9 +17,18 @@ cfg = bench_config()
 model = PrimitiveNet(cfg)
 tx = step_lib.make_optimizer(cfg)
 state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
-train_step = step_lib.make_train_step(cfg, model, tx)
-batch = {k: jnp.asarray(v) for k, v in synth_batch(cfg, cfg.batch_size, seed=0).items() if k != "index"}
+# honour GCA_BENCH_MESH so the trace describes the same program the bench
+# measured (bench_config's contract)
+mesh = step_lib.make_mesh(cfg)
+train_step = step_lib.make_train_step(cfg, model, tx, mesh)
+batch = {k: v for k, v in synth_batch(cfg, cfg.batch_size, seed=0).items() if k != "index"}
 rng = jax.random.PRNGKey(1)
+if mesh is not None:
+    state = step_lib.replicate_to_mesh(state, mesh)
+    rng = step_lib.replicate_to_mesh(rng, mesh)
+    batch = step_lib.make_global_batch(mesh, batch)
+else:
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
 state, metrics = train_step(state, batch, rng)
 float(metrics["total_loss"])
 # profile 3 steps
