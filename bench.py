@@ -33,8 +33,10 @@ def main():
         import tpu_health
 
         if not tpu_health.relay_alive() and not tpu_health.device_op_ok(60):
+            fam = os.environ.get("GCA_BENCH_FAMILY", "abc")
             print(json.dumps({
-                "metric": "train_clouds_per_sec_per_chip_8k_pts",
+                "metric": ("scene_" if fam == "scene" else "")
+                          + "train_clouds_per_sec_per_chip_8k_pts",
                 "value": 0.0, "unit": "clouds/s", "vs_baseline": 0.0,
                 "error": "TPU tunnel relay dead (tools/tpu_health.py); "
                          "bench not run",
@@ -47,23 +49,41 @@ def main():
     import jax.numpy as jnp
 
     from gcanet_tpu.config import bench_config
-    from gcanet_tpu.data.synthetic import synth_batch
-    from gcanet_tpu.models.primitive_net import PrimitiveNet
+    from gcanet_tpu.data.synthetic import synth_batch, synth_scene_batch
     from gcanet_tpu.train import step as step_lib
     # batch 10 is the single-chip sweet spot (re-swept at max_proposals=100:
     # B=10 -> 16.0, B=12 -> 15.1 clouds/s, B=16 OOM; BASELINE.md round-2 log)
     cfg = bench_config()
-    model = PrimitiveNet(cfg)
     tx = step_lib.make_optimizer(cfg)
-    state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
+    # GCA_BENCH_FAMILY=scene benches the SoftGroup scene family instead of
+    # the ABC flagship (distinct metric name; the driver's headline is the
+    # default family)
+    family = os.environ.get("GCA_BENCH_FAMILY", "abc")
     # GCA_BENCH_MESH=N measures the data-parallel shard_map path over an
     # N-device mesh (psum-averaged grads over ICI); default is the driver's
     # single-chip headline
     mesh = step_lib.make_mesh(cfg)
-    train_step = step_lib.make_train_step(cfg, model, tx, mesh)
+    if family == "scene":
+        from gcanet_tpu.models.softgroup_scene import SoftGroupNet
+        from gcanet_tpu.train import scene_step
 
-    batch = {k: v for k, v in
-             synth_batch(cfg, cfg.batch_size, seed=0).items() if k != "index"}
+        model = SoftGroupNet(
+            cfg, scene_grid=int(os.environ.get("GCA_BENCH_SCENE_GRID", "64")))
+        state = scene_step.init_scene_state(cfg, model, tx,
+                                            jax.random.PRNGKey(0))
+        train_step = scene_step.make_scene_train_step(cfg, model, tx, mesh)
+        raw = synth_scene_batch(cfg, cfg.batch_size, seed=0)
+        metric = "scene_train_clouds_per_sec_per_chip_8k_pts"
+    else:
+        from gcanet_tpu.models.primitive_net import PrimitiveNet
+
+        model = PrimitiveNet(cfg)
+        state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
+        train_step = step_lib.make_train_step(cfg, model, tx, mesh)
+        raw = synth_batch(cfg, cfg.batch_size, seed=0)
+        metric = "train_clouds_per_sec_per_chip_8k_pts"
+
+    batch = {k: v for k, v in raw.items() if k != "index"}
 
     rng = jax.random.PRNGKey(1)
     if mesh is not None:
@@ -91,7 +111,7 @@ def main():
     n_dev = mesh.devices.size if mesh is not None else 1
     clouds_per_sec = cfg.batch_size * n_iters / dt / n_dev
     row = {
-        "metric": "train_clouds_per_sec_per_chip_8k_pts",
+        "metric": metric,
         "value": round(clouds_per_sec, 3),
         "unit": "clouds/s",
         "vs_baseline": round(clouds_per_sec / A100_REFERENCE_CLOUDS_PER_SEC, 3),

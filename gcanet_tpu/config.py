@@ -191,7 +191,8 @@ def bench_config() -> Config:
     GCA_BENCH_MESH (1 = single device; N>1 = data-parallel mesh over N
     devices, batch is the GLOBAL batch),
     GCA_BENCH_GROUP_VMAP (0; 1 = batched grouping/CC sweeps across items).
-    bench.py additionally reads GCA_BENCH_ITERS (10, timed steps).
+    bench.py additionally reads GCA_BENCH_ITERS (10, timed steps),
+    GCA_BENCH_FAMILY (abc | scene) and GCA_BENCH_SCENE_GRID (64).
     """
     import os
 

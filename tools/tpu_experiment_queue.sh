@@ -39,6 +39,10 @@ for s in $steps; do case $s in
   serve)
     # serving re-measure at K=48 (README still quotes K=80-era numbers)
     run serve python tools/serve_bench.py ;;
+  scene)
+    # first scene-family throughput number (not part of the default list —
+    # compile is a fresh ~10 min program on the tunnel)
+    run scene env GCA_BENCH_FAMILY=scene python bench.py ;;
   *) echo "unknown step: $s" ;;
 esac; done
 
