@@ -407,6 +407,8 @@ class Trainer:
         import re
         import shutil
 
+        if jax.process_index() != 0:
+            return  # one pruner: concurrent rmtree races on shared storage
         keep = {epoch, epoch - self.cfg.save_interval}
         e = 1
         while e <= epoch:

@@ -28,7 +28,7 @@ def _free_port() -> int:
 import pytest
 
 
-@pytest.mark.parametrize("family", ["abc", "scene"])
+@pytest.mark.parametrize("family", ["abc", "scene", "trainer"])
 def test_two_process_train_step_and_gathers(family):
     port = _free_port()
     world = 2

@@ -50,6 +50,29 @@ def main():
                                          cc_max_iters=8),
                  instance_head=InstanceHeadConfig(grid_size=8,
                                                   max_proposals=8))
+    if family == "trainer":
+        # the FULL Trainer.train() for one epoch: per-process shard loading,
+        # mesh'd train steps, rank-strided eval + merged metrics, and every
+        # orbax checkpoint tag (latest/eval0/max_*) saved with ALL processes
+        # participating (orbax coordinates global-array writes), plus
+        # main-process-only pruning/CSV/meta.json
+        import tempfile
+
+        from gcanet_tpu.train.trainer import Trainer
+
+        log_dir = os.path.join(tempfile.gettempdir(),
+                               f"mh_trainer_{os.environ['GCA_COORDINATOR'].split(':')[1]}")
+        cfg = cfg.replace(log_dir=log_dir, max_epoch=1, eval_interval=1,
+                          save_interval=1, data_path="/nonexistent")
+        trainer = Trainer(cfg)
+        trainer.train()
+        for tag in ("latest", "eval0", "max_miou"):
+            assert os.path.isdir(os.path.join(trainer.ckpt_dir, tag)), tag
+        if rank == 0:
+            assert os.path.exists(os.path.join(log_dir, "output_results.csv"))
+        print(f"MULTIHOST_SMOKE_OK family=trainer rank={rank}/{world} "
+              f"devices={n_dev}", flush=True)
+        return
     tx = step_lib.make_optimizer(cfg)
     mesh = step_lib.make_mesh(cfg)
     assert mesh is not None and mesh.devices.size == n_dev
