@@ -28,7 +28,8 @@ def _free_port() -> int:
 import pytest
 
 
-@pytest.mark.parametrize("family", ["abc", "scene", "trainer"])
+@pytest.mark.parametrize("family", ["abc", "scene", "trainer",
+                                    "scene_trainer"])
 def test_two_process_train_step_and_gathers(family):
     port = _free_port()
     world = 2
@@ -48,7 +49,7 @@ def test_two_process_train_step_and_gathers(family):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=1200)
+        out, _ = p.communicate(timeout=2400)
         outs.append(out)
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"

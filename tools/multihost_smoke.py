@@ -50,6 +50,35 @@ def main():
                                          cc_max_iters=8),
                  instance_head=InstanceHeadConfig(grid_size=8,
                                                   max_proposals=8))
+    if family == "scene_trainer":
+        # full SceneTrainer.train(): scene shard loading, mesh'd scene steps,
+        # rank-strided eval whose merged scene set feeds ScanNet AP/PQ
+        # matching identically on every process
+        import tempfile
+
+        from gcanet_tpu.train.scene_trainer import SceneTrainer
+
+        log_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"mh_scenetr_{os.environ['GCA_COORDINATOR'].split(':')[1]}")
+        cfg = cfg.replace(log_dir=log_dir, max_epoch=1, eval_interval=1,
+                          save_interval=1, data_path="/nonexistent",
+                          model_dict="softgroup.model.softgroup")
+        trainer = SceneTrainer(cfg)
+        # trim the synthetic epoch (32 batches) to 4 — the smoke validates the
+        # cross-process machinery, not throughput; keep every rank symmetric
+        import itertools
+
+        orig = trainer._train_batches
+        trainer._train_batches = \
+            lambda epoch: itertools.islice(orig(epoch), 4)
+        trainer.train()
+        assert os.path.isdir(os.path.join(trainer.ckpt_dir, "latest"))
+        if rank == 0:
+            assert os.path.exists(os.path.join(log_dir, "output_results.csv"))
+        print(f"MULTIHOST_SMOKE_OK family=scene_trainer rank={rank}/{world} "
+              f"devices={n_dev}", flush=True)
+        return
     if family == "trainer":
         # the FULL Trainer.train() for one epoch: per-process shard loading,
         # mesh'd train steps, rank-strided eval + merged metrics, and every
