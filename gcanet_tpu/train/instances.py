@@ -16,16 +16,22 @@ import numpy as np
 
 
 def rle_encode(mask: np.ndarray) -> Dict:
-    """Binary run-length encoding (softgroup/util/rle.py:5-21 format)."""
+    """Binary run-length encoding, bit-compatible with the reference codec
+    (softgroup/util/rle.py:5-21): counts is the space-joined run string, so
+    dumps interchange with reference tooling."""
     m = np.concatenate([[0], mask.astype(np.uint8), [0]])
     runs = np.where(m[1:] != m[:-1])[0] + 1
     runs[1::2] -= runs[::2]
-    return {"length": int(mask.size), "counts": runs.tolist()}
+    return {"length": int(mask.size),
+            "counts": " ".join(str(int(x)) for x in runs)}
 
 
 def rle_decode(rle: Dict) -> np.ndarray:
+    """Accepts the reference string format and the legacy list format."""
     mask = np.zeros(rle["length"], np.uint8)
     counts = rle["counts"]
+    if isinstance(counts, str):
+        counts = [int(x) for x in counts.split()]
     for start, length in zip(counts[::2], counts[1::2]):
         mask[start - 1:start - 1 + length] = 1
     return mask

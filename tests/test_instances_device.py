@@ -49,7 +49,8 @@ def test_device_matches_host(seed, dup):
     for inst, (i, p) in zip(host, order):
         assert inst["label_id"] == i + 1
         assert abs(inst["conf"] - conf[p, i]) < 1e-5
-        assert sum(inst["pred_mask"]["counts"][1::2]) == npoint[p, i]
+        runs = [int(x) for x in inst["pred_mask"]["counts"].split()]
+        assert sum(runs[1::2]) == npoint[p, i]
 
 
 def test_no_instances_gives_zero_labels():
