@@ -162,6 +162,10 @@ _EXPECTED_SKIPS = (
     "encoder.conv1.1", "encoder.conv2.1", "encoder.conv3.1",
     "conv_normal.1", "offset_pred_block.conv1.1",
     "num_batches_tracked", "tiny_unet_outputlayer.1",
+    # declared but never applied in the reference forward (dgcnn-4.py:464-465
+    # create bn4/bn5; only bn1-3 + bnmlp1 are used) — dead params every real
+    # checkpoint carries
+    "encoder.bn4", "encoder.bn5",
 )
 
 
