@@ -75,7 +75,9 @@ class Config:
     mode: int = 5                     # 0: xyz only; 3: xyz, predict normal; 5: xyz+normal input
     ablation: bool = False
     using_set_aggr: bool = False
-    model_dict: str = "gcanet_tpu.models.primitive_net"
+    # the reference's dotted default (option_new.py); the registry maps it
+    # (and "gcanet_tpu.models.primitive_net") to the flagship PrimitiveNet
+    model_dict: str = "models.dgcnn-hais-concat-direct-4"
     checkpoint_path: str | None = None
     log_dir: str = "log/gcanet"
     resultsSave: bool = False
