@@ -51,7 +51,10 @@ class OffsetPredModule(fnn.Module):
     def __call__(self, points, feature, instance_feature):
         # points [B, N, 3]; feature [B, N, 128]; instance_feature [B, N, 64]
         b, n, _ = points.shape
-        sub = jnp.asarray(keypoint_permutation(n, self.sampling_ratio))
+        # the reference's l[:sampling_ratio] slice implicitly clamps to N on
+        # clouds smaller than the keypoint budget (dgcnn-4.py:403-406)
+        s = min(self.sampling_ratio, n)
+        sub = jnp.asarray(keypoint_permutation(n, s))
 
         key_points = points[:, sub]                          # [B, S, 3]
         feature_sampling = feature[:, sub]                   # [B, S, 128]
@@ -69,7 +72,7 @@ class OffsetPredModule(fnn.Module):
         # matmul than as gather/scatter (measured fwd+bwd 7.3 ms vs 83 ms at
         # B=8, N=8192).  The sorted similarities are recovered by the same
         # matmul against sim, keeping the KPAM input and sim-gradient exact.
-        onehot = jax.nn.one_hot(topk_idx, self.sampling_ratio,
+        onehot = jax.nn.one_hot(topk_idx, s,
                                 dtype=feature.dtype)           # [B, N, K, S]
         src = jnp.concatenate([key_points, feature_sampling], axis=-1)
         both = jnp.einsum("bnks,bsc->bnkc", onehot, src)       # [B, N, K, 131]

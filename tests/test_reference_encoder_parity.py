@@ -166,3 +166,105 @@ def test_offset_module_matches_reference():
                                 jnp.asarray(pts), jnp.asarray(feat),
                                 jnp.asarray(inst)))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_full_trunk_matches_reference():
+    """The complete pre-grouping trunk: encoder -> conv1/2 -> type head with
+    log-softmax -> param head with canonicalisation -> normal-angle embedding
+    head -> conv3 -> offset module.  The reference's forward_train is run with
+    forward_grouping monkeypatched to capture its inputs (the CUDA boundary),
+    weights converted through the importer; our full model must produce the
+    same tensors."""
+    import torch
+
+    from gcanet_tpu.config import Config, GroupingConfig, InstanceHeadConfig
+    from gcanet_tpu.models.primitive_net import PrimitiveNet
+
+    class _Dummy(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    ns = {
+        "__file__": str(REF), "ResidualBlock": _Dummy, "UBlock": _Dummy,
+        "MLP": _Dummy,
+        "spconv": types.SimpleNamespace(
+            SparseSequential=lambda *mods: torch.nn.Sequential(*mods)),
+        "force_fp32": lambda *a, **k: (lambda f: f),
+        "rle_decode": None, "rle_encode": None, "grouping_operation": None,
+        "Transformer": None, "knn_point": None, "group_points": None,
+        "construction_affinity_matrix_type": None,
+        "construction_affinity_matrix_normal": None,
+        "construction_affinity_matrix_type_one_class": None,
+        "ball_query": None, "bfs_cluster": None,
+        "get_mask_iou_on_cluster": None, "get_mask_iou_on_pred": None,
+        "get_mask_label": None, "global_avg_pool": None, "sec_max": None,
+        "sec_min": None, "voxelization": None, "voxelization_idx": None,
+        "hierarchical_aggregation": None,
+    }
+    src = _strip_imports(REF.read_text())
+    src = src.replace("torch.device('cuda')", "torch.device('cpu')")
+    exec(compile(src, str(REF), "exec"), ns)
+
+    k, b, n = 12, 2, 96
+    opt = types.SimpleNamespace(loss_class="frpn", ablation=False)
+    torch.manual_seed(2)
+    ref = ns["PrimitivesEmbeddingDGCNGn"](
+        opt=opt, emb_size=64, num_primitives=7, mode=5, num_channels=6,
+        nn_nb=k)
+    ref.eval()
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def capture(semantic_scores, pt_offsets, batch_idxs, coords_float,
+                type_per_point, param_per_point, output_feats, **kw):
+        captured.update(semantic=semantic_scores, offsets=pt_offsets,
+                        tpp=type_per_point, params=param_per_point,
+                        emb=output_feats)
+        raise _Stop
+
+    ref.forward_grouping = capture
+
+    rng = np.random.RandomState(7)
+    xyz = rng.randn(b, n, 3).astype(np.float32)
+    nrm = rng.randn(b, n, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    with torch.no_grad(), pytest.raises(_Stop):
+        ref.forward_train(torch.as_tensor(xyz), torch.as_tensor(nrm), None)
+    want = {kk: v.numpy() for kk, v in captured.items()}
+
+    cfg = Config(num_points=n, batch_size=b, nn_nb=k, num_primitives=7,
+                 out_dim=64, loss_class="frpn", max_instances=8,
+                 grouping=GroupingConfig(radius=0.1, min_npoint=5,
+                                         cc_max_iters=8),
+                 instance_head=InstanceHeadConfig(grid_size=8,
+                                                  max_proposals=8))
+    model = PrimitiveNet(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(xyz), jnp.asarray(nrm), train=False,
+                           rng=jax.random.PRNGKey(1))
+    sd = {kk: v.numpy() for kk, v in ref.state_dict().items()}
+    params, batch_stats, report = convert_state_dict(
+        sd, variables["params"], variables.get("batch_stats", {}), mode=5)
+    assert not report.unmatched, report.unmatched
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      jnp.asarray(xyz), jnp.asarray(nrm), train=False,
+                      rng=jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(np.asarray(out.type_per_point), want["tpp"],
+                               atol=1e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.param_per_point),
+                               want["params"], atol=1e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.embedding), want["emb"],
+                               atol=1e-3, rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.semantic_scores).reshape(want["semantic"].shape),
+        want["semantic"], atol=1e-3, rtol=2e-3)
+    # offsets are the deepest output (encoder -> conv3 -> KPAM softmax ->
+    # conv -> max -> dense): float32 rounding near a max/top-k boundary can
+    # move single elements by ~2e-3
+    np.testing.assert_allclose(
+        np.asarray(out.pt_offsets).reshape(want["offsets"].shape),
+        want["offsets"], atol=5e-3, rtol=5e-3)
