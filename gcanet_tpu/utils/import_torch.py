@@ -83,16 +83,10 @@ def _res_block_rules(tprefix: str, fprefix: Tuple[str, ...],
     return rules
 
 
-def build_rules(mode: int = 5) -> List[Rule]:
-    """The complete key map for models/dgcnn-hais-concat-direct-4.py
-    (mode-5 flagship; mode 3 adds the normal head, shifting DenseGN indices).
-    """
-    assert mode == 5, "only the mode-5 flagship map is implemented"
-    enc = ("DGCNNEncoderGn_0",)
-    ih = ("InstanceHead_0",)
-    tu = ih + ("TinyUNet_0",)
-    rules: List[Rule] = [
-        # encoder (dgcnn-4.py:455-534)
+def _encoder_rules(enc: Tuple[str, ...]) -> List[Rule]:
+    """DGCNNEncoderGn key map (dgcnn-4.py:455-534; identical compute in
+    sppnet.py:148-225 — only the return contract differs)."""
+    return [
         Rule("encoder.conv1.0", enc + ("ConvGNAct_0", "Dense_0"), CONV1X1),
         Rule("encoder.bn1", enc + ("ConvGNAct_0", "GroupNorm_0"), NORM),
         Rule("encoder.conv2.0", enc + ("EdgeConv_0",), CONV1X1),
@@ -101,6 +95,32 @@ def build_rules(mode: int = 5) -> List[Rule]:
         Rule("encoder.bn3", enc + ("EdgeConv_1", "GroupNorm_0"), NORM),
         Rule("encoder.mlp1", enc + ("DenseGN_0", "Dense_0"), CONV1X1, True),
         Rule("encoder.bnmlp1", enc + ("DenseGN_0", "GroupNorm_0"), NORM),
+    ]
+
+
+def build_rules(mode: int = 5, model: str = "flagship") -> List[Rule]:
+    """The complete key map for the reference checkpoint families:
+
+    * ``flagship`` — models/dgcnn-hais-concat-direct-4.py (mode-5 default)
+      -> gcanet_tpu.models.primitive_net.PrimitiveNet
+    * ``sppnet``   — models/sppnet.py PrimitivesEmbeddingDGCNGn (mode 5)
+      -> gcanet_tpu.models.sppnet.PrimitiveNetSPP
+    * ``splinenet`` — models/splinenet.py DGCNNControlPoints (the
+      open/closed-spline nets abc_utils.py:34-61 loads)
+      -> gcanet_tpu.models.splinenet.DGCNNControlPoints
+    """
+    if model == "sppnet":
+        return _sppnet_rules()
+    if model == "splinenet":
+        return _splinenet_rules()
+    if model == "variant2":
+        return _variant2_rules()
+    assert model == "flagship", f"unknown model family {model!r}"
+    assert mode == 5, "only the mode-5 flagship map is implemented"
+    enc = ("DGCNNEncoderGn_0",)
+    ih = ("InstanceHead_0",)
+    tu = ih + ("TinyUNet_0",)
+    rules: List[Rule] = _encoder_rules(enc) + [
         # trunk + heads (dgcnn-4.py:544-603, 644-699)
         Rule("conv1", ("DenseGN_0", "Dense_0"), CONV1X1, True),
         Rule("bn1", ("DenseGN_0", "GroupNorm_0"), NORM),
@@ -156,6 +176,82 @@ def build_rules(mode: int = 5) -> List[Rule]:
     return rules
 
 
+def _sppnet_rules() -> List[Rule]:
+    """sppnet.py:228-349 (mode-5 HPNet-style baseline) ->
+    gcanet_tpu/models/sppnet.py::PrimitiveNetSPP.
+
+    Head order in our module: embedding (DenseGN_2/Dense_0), type
+    (DenseGN_3/Dense_1), normal (DenseGN_4/Dense_2), param
+    (DenseGN_5/Dense_3)."""
+    return _encoder_rules(("DGCNNEncoderGn_0",)) + [
+        Rule("conv1", ("DenseGN_0", "Dense_0"), CONV1X1, True),
+        Rule("bn1", ("DenseGN_0", "GroupNorm_0"), NORM),
+        Rule("conv2", ("DenseGN_1", "Dense_0"), CONV1X1, True),
+        Rule("bn2", ("DenseGN_1", "GroupNorm_0"), NORM),
+        Rule("mlp_seg_prob1", ("DenseGN_2", "Dense_0"), CONV1X1, True),
+        Rule("bn_seg_prob1", ("DenseGN_2", "GroupNorm_0"), NORM),
+        Rule("mlp_seg_prob2", ("Dense_0",), CONV1X1, True),
+        Rule("mlp_prim_prob1", ("DenseGN_3", "Dense_0"), CONV1X1, True),
+        Rule("bn_prim_prob1", ("DenseGN_3", "GroupNorm_0"), NORM),
+        Rule("mlp_prim_prob2", ("Dense_1",), CONV1X1, True),
+        Rule("mlp_normal_prob1", ("DenseGN_4", "Dense_0"), CONV1X1, True),
+        Rule("bn_normal_prob1", ("DenseGN_4", "GroupNorm_0"), NORM),
+        Rule("mlp_normal_prob2", ("Dense_2",), CONV1X1, True),
+        Rule("mlp_param_prob1", ("DenseGN_5", "Dense_0"), CONV1X1, True),
+        Rule("bn_param_prob1", ("DenseGN_5", "GroupNorm_0"), NORM),
+        Rule("mlp_param_prob2", ("Dense_3",), CONV1X1, True),
+    ]
+
+
+def _variant2_rules() -> List[Rule]:
+    """models/dgcnn-hais-concat-direct-2.py checkpoints -> our PrimitiveNet
+    with ``offset_variant='dual'``.  Identical to the flagship map except the
+    offset module: dual sigmoid-KPAM over geometric keypoint neighbourhoods
+    (dgcnn-2.py:326-466); the seg-attention branch is dead code (its only use
+    is commented out at dgcnn-2.py:447) and lands in report.skipped."""
+    base = [r for r in build_rules(5, "flagship")
+            if not r.torch_prefix.startswith("offset_pred_block")]
+    od = ("OffsetPredModuleDual_0",)
+    return base + [
+        Rule("offset_pred_block.conv1.0", od + ("ConvGNAct_0", "Dense_0"),
+             CONV1X1),
+        Rule("offset_pred_block.bn1", od + ("ConvGNAct_0", "GroupNorm_0"),
+             NORM),
+        Rule("offset_pred_block.attention_inst.conv1.0",
+             od + ("KPAMSigmoid_0", "Dense_0"), CONV1X1),
+        Rule("offset_pred_block.attention_inst.conv1.2",
+             od + ("KPAMSigmoid_0", "Dense_1"), CONV1X1),
+        Rule("offset_pred_block.mlp_offset", od + ("Dense_0",), CONV1X1,
+             True),
+    ]
+
+
+def _splinenet_rules() -> List[Rule]:
+    """splinenet.py:55-179 DGCNNControlPoints (both modes share key names) ->
+    gcanet_tpu/models/splinenet.py::DGCNNControlPoints."""
+    rules: List[Rule] = []
+    for i in range(4):
+        blk = (f"_EdgeBlock_{i}",)
+        rules += [
+            Rule(f"conv{i + 1}.0", blk + ("Dense_0",), CONV1X1),
+            Rule(f"bn{i + 1}", blk + ("BatchNorm_0",), NORM),
+            Rule(f"bn{i + 1}", blk + ("BatchNorm_0",), BN_STATS),
+        ]
+    rules += [
+        Rule("conv5.0", ("Dense_0",), CONV1X1),
+        Rule("bn5", ("BatchNorm_0",), NORM),
+        Rule("bn5", ("BatchNorm_0",), BN_STATS),
+        Rule("conv6", ("Dense_1",), CONV1X1, True),
+        Rule("bn6", ("BatchNorm_1",), NORM),
+        Rule("bn6", ("BatchNorm_1",), BN_STATS),
+        Rule("conv7", ("Dense_2",), CONV1X1, True),
+        Rule("bn7", ("BatchNorm_2",), NORM),
+        Rule("bn7", ("BatchNorm_2",), BN_STATS),
+        Rule("conv8", ("Dense_3",), CONV1X1, True),
+    ]
+    return rules
+
+
 # keys that are known duplicates / dead weights — not errors when left over
 _EXPECTED_SKIPS = (
     "mlp_squeeze_output_feature", "bn_normal_squeeze_output_feature",
@@ -167,6 +263,16 @@ _EXPECTED_SKIPS = (
     # checkpoint carries
     "encoder.bn4", "encoder.bn5",
 )
+
+# per-family expected skips (duplicate Sequential registrations of the shared
+# norms, dead bn4/bn5, BN counters)
+_MODEL_SKIPS = {
+    "flagship": _EXPECTED_SKIPS,
+    "sppnet": _EXPECTED_SKIPS,
+    "variant2": _EXPECTED_SKIPS + ("attention_seg",),
+    "splinenet": ("conv1.1", "conv2.1", "conv3.1", "conv4.1", "conv5.1",
+                  "num_batches_tracked"),
+}
 
 
 # ---------------------------------------------------------------------------
@@ -241,17 +347,18 @@ class ConvertReport:
 
 def convert_state_dict(state_dict: Dict[str, np.ndarray],
                        params_template, batch_stats_template,
-                       mode: int = 5):
+                       mode: int = 5, model: str = "flagship"):
     """Map a reference model_state_dict onto (params, batch_stats).
 
     Returns ``(params, batch_stats, report)``. Unmapped flax params keep
     their template values — the reference's own load_checkpoint does the
     same key-intersection partial load (trainer_new.py:129-135).
+    ``model`` selects the checkpoint family (see :func:`build_rules`).
     """
     import jax
 
     sd = _strip_prefixes(state_dict)
-    rules = build_rules(mode)
+    rules = build_rules(mode, model)
 
     # flatten templates for shape lookup + coverage accounting
     def flat_paths(tree):
@@ -322,11 +429,12 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray],
     batch_stats = merge(bs_flat, new_bs)
 
     mapped_set = set(mapped_torch)
+    expected_skips = _MODEL_SKIPS[model]
     skipped, unmatched = [], []
     for k in sd:
         if k in mapped_set:
             continue
-        (skipped if any(s in k for s in _EXPECTED_SKIPS)
+        (skipped if any(s in k for s in expected_skips)
          else unmatched).append(k)
     missing = ["/".join(p) for p in
                (set(p_flat) | set(bs_flat)) - mapped_flax
