@@ -71,7 +71,8 @@ def main():
             cfg, scene_grid=int(os.environ.get("GCA_BENCH_SCENE_GRID", "64")))
         state = scene_step.init_scene_state(cfg, model, tx,
                                             jax.random.PRNGKey(0))
-        train_step = scene_step.make_scene_train_step(cfg, model, tx, mesh)
+        train_step = scene_step.make_scene_train_step(cfg, model, tx, mesh,
+                                                      donate=True)
         raw = synth_scene_batch(cfg, cfg.batch_size, seed=0)
         metric = "scene_train_clouds_per_sec_per_chip_8k_pts"
     else:
@@ -79,7 +80,7 @@ def main():
 
         model = PrimitiveNet(cfg)
         state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
-        train_step = step_lib.make_train_step(cfg, model, tx, mesh)
+        train_step = step_lib.make_train_step(cfg, model, tx, mesh, donate=True)
         raw = synth_batch(cfg, cfg.batch_size, seed=0)
         metric = "train_clouds_per_sec_per_chip_8k_pts"
 

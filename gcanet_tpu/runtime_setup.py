@@ -15,6 +15,14 @@ def enable_compilation_cache(path: str = "/root/.cache/jax_comp_cache") -> None:
     plat = os.environ.get("GCA_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    if plat == "cpu":
+        # CPU runs must NOT use the persistent cache: XLA:CPU entries are AOT
+        # artifacts keyed without the host's CPU features, and this repo moves
+        # between heterogeneous hosts — reloading another machine's AOT result
+        # warns "+prefer-no-scatter not supported ... could lead to SIGILL"
+        # and has produced multi-minute loader stalls.  TPU executables are
+        # host-independent, so the cache stays on for the tunnelled TPU.
+        return
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

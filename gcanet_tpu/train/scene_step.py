@@ -61,10 +61,12 @@ def compute_scene_losses(cfg: Config, out, batch: Dict[str, jnp.ndarray]
     return total, ld
 
 
-def make_scene_train_step(cfg: Config, model, tx, mesh: Mesh | None = None):
+def make_scene_train_step(cfg: Config, model, tx, mesh: Mesh | None = None,
+                          donate: bool = False):
     """Returns jitted ``step(state, batch, rng) -> (state, metrics)``; the
     per-step key folds in on device from ``state.step`` (same dispatch-
-    pipelining rule as the flagship step)."""
+    pipelining rule as the flagship step).  ``donate=True`` aliases the
+    TrainState buffers in place (see train/step.py::make_train_step)."""
 
     def loss_fn(params, batch_stats, batch, rng):
         out, mut = model.apply(
@@ -95,14 +97,15 @@ def make_scene_train_step(cfg: Config, model, tx, mesh: Mesh | None = None):
         metrics = dict(ld, total_loss=total)
         return TrainState(params, new_bs, opt_state, state.step + 1), metrics
 
+    donate_kw = {"donate_argnums": (0,)} if donate else {}
     if mesh is None:
-        return jax.jit(local_step)
+        return jax.jit(local_step, **donate_kw)
     sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P("data"), P()),
         out_specs=(P(), P()),
         check_vma=False)
-    return jax.jit(sharded)
+    return jax.jit(sharded, **donate_kw)
 
 
 def init_scene_state(cfg: Config, model, tx, rng) -> TrainState:

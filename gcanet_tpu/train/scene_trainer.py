@@ -47,7 +47,7 @@ class SceneTrainer(Trainer):
         n_params = sum(x.size for x in jax.tree.leaves(self.state.params))
         print(f"parameters number: {n_params / 1e6:.2f} M")
         self.train_step = scene_step.make_scene_train_step(
-            cfg, self.model, self.tx, self.mesh)
+            cfg, self.model, self.tx, self.mesh, donate=True)
 
         model = self.model
 

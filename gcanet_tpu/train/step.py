@@ -181,8 +181,14 @@ def make_global_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def make_train_step(cfg: Config, model: PrimitiveNet, tx,
-                    mesh: Mesh | None = None):
-    """Returns jitted ``step(state, batch, rng) -> (state, metrics)``."""
+                    mesh: Mesh | None = None, donate: bool = False):
+    """Returns jitted ``step(state, batch, rng) -> (state, metrics)``.
+
+    ``donate=True`` donates the input TrainState so XLA aliases the param /
+    optimizer buffers in place (saves one params+opt_state copy of HBM and
+    the copy itself).  Callers must then treat the passed state as consumed
+    (``state, m = step(state, ...)``) — the trainer and bench do; it stays
+    opt-in because several tests deliberately re-run one state."""
 
     def loss_fn(params, batch_stats, batch, rng):
         if cfg.precision == "bf16":
@@ -235,8 +241,9 @@ def make_train_step(cfg: Config, model: PrimitiveNet, tx,
         metrics = dict(ld, total_loss=total)
         return TrainState(params, new_bs, opt_state, state.step + 1), metrics
 
+    donate_kw = {"donate_argnums": (0,)} if donate else {}
     if mesh is None:
-        return jax.jit(local_step)
+        return jax.jit(local_step, **donate_kw)
 
     shard_map = jax.shard_map
 
@@ -245,7 +252,7 @@ def make_train_step(cfg: Config, model: PrimitiveNet, tx,
         in_specs=(P(), P("data"), P()),
         out_specs=(P(), P()),
         check_vma=False)
-    return jax.jit(sharded)
+    return jax.jit(sharded, **donate_kw)
 
 
 def make_eval_step(cfg: Config, model: PrimitiveNet):

@@ -172,7 +172,8 @@ class Trainer:
         if cfg.num_points % 128:
             print(f"note: num_points={cfg.num_points} is not 128-aligned; "
                   f"TPU throughput is ~2x better at e.g. 8192 (see BASELINE.md)")
-        self.train_step = step_lib.make_train_step(cfg, self.model, self.tx, self.mesh)
+        self.train_step = step_lib.make_train_step(cfg, self.model, self.tx,
+                                                   self.mesh, donate=True)
         self.eval_step = step_lib.make_eval_step(cfg, self.model)
         self.start_epoch = 0
         if not cfg.not_load_model:
@@ -248,7 +249,11 @@ class Trainer:
 
             lo, hi = shard_bounds(cfg.batch_size, rank, world)  # raises if
             local_bs = hi - lo                                  # indivisible
-            for i in range(32):
+            # GCA_SYNTH_BATCHES: epoch length of the synthetic fallback (the
+            # verify drive shrinks it on 1-core hosts, where each CPU step
+            # costs ~1 min)
+            n = int(os.environ.get("GCA_SYNTH_BATCHES", "32"))
+            for i in range(n):
                 batch = synth_batch(cfg, local_bs,
                                     seed=(epoch * 1000 + i) * world + rank)
                 yield step_lib.rebase_local_batch(batch, rank, world,

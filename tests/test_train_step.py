@@ -48,6 +48,25 @@ def test_five_steps_loss_decreases():
     assert losses[-1] < losses[0]
 
 
+def test_donated_step_matches_undonated():
+    """donate=True (trainer/bench path) aliases the TrainState buffers in
+    place; it must produce the same numbers as the default step and the
+    returned state must chain into the next call."""
+    cfg = tiny_config()
+    model = PrimitiveNet(cfg)
+    tx = step_lib.make_optimizer(cfg)
+    batch = _arrays(synth_batch(cfg, cfg.batch_size, seed=0))
+    ref_state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
+    don_state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
+    ref_step = step_lib.make_train_step(cfg, model, tx)
+    don_step = step_lib.make_train_step(cfg, model, tx, donate=True)
+    for _ in range(2):
+        ref_state, ref_m = ref_step(ref_state, batch, jax.random.PRNGKey(1))
+        don_state, don_m = don_step(don_state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(don_m["total_loss"]),
+                               float(ref_m["total_loss"]), rtol=1e-5)
+
+
 def test_eval_step_and_instances():
     cfg = tiny_config(batch_size=1)
     model = PrimitiveNet(cfg)

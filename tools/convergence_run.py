@@ -50,6 +50,9 @@ def main():
                     help="edge-conv/embedding graph degree K (0 = Config "
                          "default, 48 since the round-2 K-sweep; pass 80 "
                          "for the reference's nn_nb)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init/data seed family for repeat runs (eval "
+                         "objects stay fixed so runs share the held-out set)")
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--eval-objects", type=int, default=8)
     ap.add_argument("--out", default="/tmp/convergence.jsonl")
@@ -75,7 +78,7 @@ def main():
                  **({"nn_nb": args.nn_nb} if args.nn_nb else {}))
     model = PrimitiveNet(cfg)
     tx = step_lib.make_optimizer(cfg)
-    state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0))
+    state = step_lib.init_state(cfg, model, tx, jax.random.PRNGKey(args.seed))
     train_step = step_lib.make_train_step(cfg, model, tx)
     eval_step = step_lib.make_eval_step(cfg, model)
 
@@ -103,7 +106,7 @@ def main():
             tmious.append(M.compute_type_miou_abc(pred_t, t_gt, merged, i_gt))
         return float(np.mean(mious)), float(np.mean(tmious))
 
-    rng = jax.random.PRNGKey(1)
+    rng = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()
     log = open(args.out, "w")
 
@@ -118,7 +121,8 @@ def main():
 
     def batch_gen():
         for step in range(args.steps):
-            yield {k: v for k, v in make_batch(cfg, 1000 + step).items()
+            yield {k: v for k, v in
+                   make_batch(cfg, args.seed * 100_000 + 1000 + step).items()
                    if k != "index"}
 
     batches = prefetch_to_device(batch_gen())

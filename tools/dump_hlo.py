@@ -37,7 +37,7 @@ def main():
     # honour GCA_BENCH_MESH so the dump describes the same program the bench
     # measured (bench_config's contract)
     mesh = step_lib.make_mesh(cfg)
-    train_step = step_lib.make_train_step(cfg, model, tx, mesh)
+    train_step = step_lib.make_train_step(cfg, model, tx, mesh, donate=True)
     arrays = {k: v for k, v in
               synth_batch(cfg, cfg.batch_size, seed=0).items() if k != "index"}
     rng = jax.random.PRNGKey(1)
