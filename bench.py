@@ -68,7 +68,8 @@ def main():
         from gcanet_tpu.train import scene_step
 
         model = SoftGroupNet(
-            cfg, scene_grid=int(os.environ.get("GCA_BENCH_SCENE_GRID", "64")))
+            cfg, scene_grid=int(os.environ.get("GCA_BENCH_SCENE_GRID", "64")),
+            compute_bf16=bool(int(os.environ.get("GCA_BENCH_SCENE_BF16", "0"))))
         state = scene_step.init_scene_state(cfg, model, tx,
                                             jax.random.PRNGKey(0))
         train_step = scene_step.make_scene_train_step(cfg, model, tx, mesh,

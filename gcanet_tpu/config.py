@@ -159,6 +159,10 @@ class Config:
     # default 100 on real datasets, 1 on tiny synthetic scenes);
     # softgroup/evaluation/instance_eval.py:25-28
     eval_min_npoint: int = 0
+    # bf16 compute in the scene-family backbone U-Net (dense-conv FLOP/HBM
+    # bound, unlike the ABC family's index-bound edge path).  Off by default
+    # pending a TPU convergence A/B; GCA_BENCH_SCENE_BF16=1 benches it.
+    scene_bf16: bool = False
 
     grouping: GroupingConfig = dataclasses.field(default_factory=GroupingConfig)
     instance_head: InstanceHeadConfig = dataclasses.field(default_factory=InstanceHeadConfig)
@@ -281,6 +285,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     p("--mesh_shape", type=str, default=c.mesh_shape)
     p("--seed", type=int, default=c.seed)
     p("--eval_min_npoint", type=int, default=c.eval_min_npoint)
+    p("--scene_bf16", type=int, default=int(c.scene_bf16))
     p("--max_proposals", type=int, default=c.instance_head.max_proposals,
       help="train-time proposal cap (reference parity: 200; TPU default 100)")
 

@@ -19,7 +19,7 @@ is ~0.1%; a dense 16^3 grid keeps similar effective resolution per proposal).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import flax.linen as fnn
 import jax
@@ -29,14 +29,21 @@ from gcanet_tpu.models.layers import MLP, MaskedBatchNorm
 
 
 class SubMConv3d(fnn.Module):
-    """3x3x3 masked dense conv == submanifold sparse conv at active sites."""
+    """3x3x3 masked dense conv == submanifold sparse conv at active sites.
+
+    ``dtype=jnp.bfloat16`` must be passed EXPLICITLY for half-precision
+    compute: flax's default dtype inference promotes a bf16 input against the
+    fp32 params back to fp32, silently undoing any caller-side cast.
+    """
 
     features: int
     kernel: int = 3
+    dtype: Optional[jnp.dtype] = None
 
     @fnn.compact
     def __call__(self, x, active):
-        y = fnn.Conv(self.features, (self.kernel,) * 3, padding="SAME", use_bias=False)(x)
+        y = fnn.Conv(self.features, (self.kernel,) * 3, padding="SAME",
+                     use_bias=False, dtype=self.dtype)(x)
         return y * active[..., None]
 
 
@@ -44,18 +51,20 @@ class ResidualBlock(fnn.Module):
     """blocks.py:44-79 pre-activation residual block (BN -> ReLU -> conv) x2."""
 
     features: int
+    dtype: Optional[jnp.dtype] = None
 
     @fnn.compact
     def __call__(self, x, active, train: bool):
         identity = x
         h = MaskedBatchNorm()(x, train=train, active=active)
         h = fnn.relu(h) * active[..., None]
-        h = SubMConv3d(self.features)(h, active)
+        h = SubMConv3d(self.features, dtype=self.dtype)(h, active)
         h = MaskedBatchNorm()(h, train=train, active=active)
         h = fnn.relu(h) * active[..., None]
-        h = SubMConv3d(self.features)(h, active)
+        h = SubMConv3d(self.features, dtype=self.dtype)(h, active)
         if identity.shape[-1] != self.features:
-            identity = fnn.Dense(self.features, use_bias=False)(identity)  # Custom1x1Subm3d
+            identity = fnn.Dense(self.features, use_bias=False,
+                                 dtype=self.dtype)(identity)  # Custom1x1Subm3d
         return h + identity * active[..., None]
 
 
@@ -63,19 +72,21 @@ class TinyUNet(fnn.Module):
     """UBlock([C, 2C], block_reps=2) of blocks.py:82-143 on dense masked grids."""
 
     channels: int = 64
+    dtype: Optional[jnp.dtype] = None
 
     @fnn.compact
     def __call__(self, x, active, train: bool):
         c = self.channels
         a0 = active
         for _ in range(2):                                   # blocks
-            x = ResidualBlock(c)(x, a0, train)
+            x = ResidualBlock(c, dtype=self.dtype)(x, a0, train)
         identity = x
 
         # down: BN + ReLU + SparseConv3d(k2 s2) (blocks.py:99-107)
         h = MaskedBatchNorm()(x, train=train, active=a0)
         h = fnn.relu(h) * a0[..., None]
-        h = fnn.Conv(2 * c, (2, 2, 2), strides=(2, 2, 2), use_bias=False)(h)
+        h = fnn.Conv(2 * c, (2, 2, 2), strides=(2, 2, 2), use_bias=False,
+                     dtype=self.dtype)(h)
         a1 = jnp.max(a0.reshape(a0.shape[0],
                                 a0.shape[1] // 2, 2,
                                 a0.shape[2] // 2, 2,
@@ -84,18 +95,19 @@ class TinyUNet(fnn.Module):
         h = h * a1[..., None]
 
         for _ in range(2):                                   # inner UBlock([2C]) blocks
-            h = ResidualBlock(2 * c)(h, a1, train)
+            h = ResidualBlock(2 * c, dtype=self.dtype)(h, a1, train)
 
         # deconv: BN + ReLU + SparseInverseConv3d(k2) (blocks.py:112-119)
         h = MaskedBatchNorm()(h, train=train, active=a1)
         h = fnn.relu(h) * a1[..., None]
-        h = fnn.ConvTranspose(c, (2, 2, 2), strides=(2, 2, 2), use_bias=False)(h)
+        h = fnn.ConvTranspose(c, (2, 2, 2), strides=(2, 2, 2), use_bias=False,
+                              dtype=self.dtype)(h)
         h = h * a0[..., None]
 
         x = jnp.concatenate([identity, h], axis=-1)          # blocks.py:140
         # blocks_tail: block0 in=2C out=C, block1 in=C out=C (blocks.py:121-129)
-        x = ResidualBlock(c)(x, a0, train)
-        x = ResidualBlock(c)(x, a0, train)
+        x = ResidualBlock(c, dtype=self.dtype)(x, a0, train)
+        x = ResidualBlock(c, dtype=self.dtype)(x, a0, train)
         return x
 
 
@@ -124,12 +136,13 @@ class InstanceHead(fnn.Module):
     def __call__(self, vox_feats, active, entry_voxel, point_pid, train: bool):
         p, g3, c = vox_feats.shape
         g = self.grid_size
+        dt = jnp.bfloat16 if self.compute_bf16 else None
         if self.compute_bf16:
             vox_feats = vox_feats.astype(jnp.bfloat16)
         x = vox_feats.reshape(p, g, g, g, c)
         a = active.reshape(p, g, g, g)
 
-        x = TinyUNet(self.channels)(x, a, train)
+        x = TinyUNet(self.channels, dtype=dt)(x, a, train)
         x = MaskedBatchNorm()(x, train=train, active=a)      # tiny_unet_outputlayer
         x = fnn.relu(x) * a[..., None]
         x = x.reshape(p, g3, self.channels).astype(jnp.float32)

@@ -31,19 +31,27 @@ from gcanet_tpu.ops import voxelize as vox_ops
 
 class SceneUNet(fnn.Module):
     """Dense masked 3-level U-Net over [B, G, G, G, C] scene grids
-    (softgroup.py's UBlock([C, 2C, 3C, ...]) analogue, depth 3)."""
+    (softgroup.py's UBlock([C, 2C, 3C, ...]) analogue, depth 3).
+
+    ``dtype=jnp.bfloat16`` runs the convolutions in bf16 (explicitly — flax's
+    default dtype inference would promote back to fp32 against fp32 params);
+    MaskedBatchNorm statistics stay fp32 either way.
+    """
 
     channels: int = 32
+    dtype: jnp.dtype | None = None
 
     @fnn.compact
     def __call__(self, x, active, train: bool):
         c = self.channels
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         def down(h, a):
             h = MaskedBatchNorm()(h, train=train, active=a)
             h = fnn.relu(h) * a[..., None]
             h = fnn.Conv(h.shape[-1] * 2, (2, 2, 2), strides=(2, 2, 2),
-                         use_bias=False)(h)
+                         use_bias=False, dtype=self.dtype)(h)
             b = a.reshape(a.shape[0], a.shape[1] // 2, 2, a.shape[2] // 2, 2,
                           a.shape[3] // 2, 2)
             a2 = jnp.max(b.astype(jnp.int32), axis=(2, 4, 6)).astype(bool)
@@ -51,20 +59,22 @@ class SceneUNet(fnn.Module):
 
         def up(h, a_target, out_c):
             h = fnn.ConvTranspose(out_c, (2, 2, 2), strides=(2, 2, 2),
-                                  use_bias=False)(h)
+                                  use_bias=False, dtype=self.dtype)(h)
             return h * a_target[..., None]
 
-        x0 = ResidualBlock(c)(x, active, train)
+        x0 = ResidualBlock(c, dtype=self.dtype)(x, active, train)
         x1, a1 = down(x0, active)
-        x1 = ResidualBlock(2 * c)(x1, a1, train)
+        x1 = ResidualBlock(2 * c, dtype=self.dtype)(x1, a1, train)
         x2, a2 = down(x1, a1)
-        x2 = ResidualBlock(4 * c)(x2, a2, train)
+        x2 = ResidualBlock(4 * c, dtype=self.dtype)(x2, a2, train)
 
         u1 = up(x2, a1, 2 * c)
-        x1 = ResidualBlock(2 * c)(jnp.concatenate([x1, u1], -1), a1, train)
+        x1 = ResidualBlock(2 * c, dtype=self.dtype)(
+            jnp.concatenate([x1, u1], -1), a1, train)
         u0 = up(x1, active, c)
-        x0 = ResidualBlock(c)(jnp.concatenate([x0, u0], -1), active, train)
-        return x0
+        x0 = ResidualBlock(c, dtype=self.dtype)(
+            jnp.concatenate([x0, u0], -1), active, train)
+        return x0.astype(jnp.float32)
 
 
 class SoftGroupOutput(NamedTuple):
@@ -83,6 +93,10 @@ class SoftGroupNet(fnn.Module):
     cfg: Config
     scene_grid: int = 64
     channels: int = 32
+    # bf16 backbone compute: unlike the ABC family's index-bound edge path,
+    # the scene cost is dense-conv FLOPs + HBM over [B, G^3, C] grids, where
+    # half precision pays directly.  Off by default pending a convergence A/B.
+    compute_bf16: bool = False
 
     @fnn.compact
     def __call__(self, xyz, feats, train: bool = True,
@@ -104,7 +118,9 @@ class SoftGroupNet(fnn.Module):
 
         h = fnn.Dense(self.channels, use_bias=False)(vfeats)
         h = h.reshape(b, g, g, g, self.channels) * active[..., None]
-        h = SceneUNet(self.channels)(h, active, train)
+        h = SceneUNet(self.channels,
+                      dtype=jnp.bfloat16 if self.compute_bf16 else None)(
+            h, active, train)
         h = MaskedBatchNorm()(h, train=train, active=active)
         h = fnn.relu(h) * active[..., None]
         vox_out = h.reshape(b * g3, self.channels)

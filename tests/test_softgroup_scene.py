@@ -33,3 +33,40 @@ def test_softgroup_scene_forward_and_grad():
 
     g = jax.grad(loss)(variables["params"])
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_softgroup_scene_bf16_matches_fp32():
+    """compute_bf16 runs the scene U-Net convs in bf16 (the scene family is
+    dense-conv FLOP/HBM-bound, unlike the ABC edge path); same params must
+    give fp32-path outputs within bf16 rounding, and grads must stay finite."""
+    cfg = Config(num_points=256, batch_size=2, max_instances=16,
+                 grouping=GroupingConfig(radius=0.1, min_npoint=5, cc_max_iters=16),
+                 instance_head=InstanceHeadConfig(grid_size=8, max_proposals=16))
+    rng = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(rng, (2, 256, 3))
+    feats = jax.random.normal(rng, (2, 256, 6))
+
+    m32 = SoftGroupNet(cfg, scene_grid=16, channels=16)
+    m16 = SoftGroupNet(cfg, scene_grid=16, channels=16, compute_bf16=True)
+    variables = m32.init({"params": rng}, xyz, feats, train=True, rng=rng)
+    o32, _ = m32.apply(variables, xyz, feats, train=True, rng=rng,
+                       mutable=["batch_stats"])
+    o16, _ = m16.apply(variables, xyz, feats, train=True, rng=rng,
+                       mutable=["batch_stats"])
+    assert o16.semantic_scores.dtype == jnp.float32  # outputs cast back
+    s32 = np.asarray(o32.semantic_scores)
+    s16 = np.asarray(o16.semantic_scores)
+    # bf16 carries ~2-3 decimal digits through a 3-level U-Net
+    scale = np.abs(s32).max() + 1e-6
+    assert np.abs(s32 - s16).max() / scale < 0.1
+    assert np.isfinite(s16).all()
+
+    def loss(params):
+        o, _ = m16.apply({"params": params,
+                          "batch_stats": variables.get("batch_stats", {})},
+                         xyz, feats, train=True, rng=rng,
+                         mutable=["batch_stats"])
+        return jnp.mean(o.semantic_scores**2) + jnp.mean(o.pt_offsets**2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
