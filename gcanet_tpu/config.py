@@ -153,6 +153,15 @@ class Config:
     # activations at N=8192 (for batch > 8) at ~2x step-time cost — only worth
     # it when memory-bound; measured faster OFF at batch <= 8.
     remat: bool = False
+    # Edge-conv gather backward: "scatter" (exact XLA scatter-add VJP) or
+    # "revgather:M" (reverse-graph gather with in-degree cap M — drops hub
+    # points' surplus gradient contributions; ops/knn.py).  Perf experiment;
+    # default stays exact.
+    edge_backward: str = "scatter"
+    # Reuse the layer-1 position-normal graph for all 3 edge convs instead of
+    # per-layer feature-space kNN (the reference's dynamic-graph semantics,
+    # dgcnn-4.py:497-503).  Saves 2 kNN searches/step; accuracy A/B required.
+    shared_graph: bool = False
     mesh_shape: str = "1"             # data-parallel devices, e.g. "8"
     seed: int = 0
     # ScanNetEval min region size (scene family): 0 = auto (reference
@@ -196,7 +205,9 @@ def bench_config() -> Config:
     GCA_BENCH_ENC_BF16 (0), GCA_BENCH_NN (0 = Config default),
     GCA_BENCH_MESH (1 = single device; N>1 = data-parallel mesh over N
     devices, batch is the GLOBAL batch),
-    GCA_BENCH_GROUP_VMAP (0; 1 = batched grouping/CC sweeps across items).
+    GCA_BENCH_GROUP_VMAP (0; 1 = batched grouping/CC sweeps across items),
+    GCA_BENCH_EDGE_BWD (scatter | revgather:M — edge-conv gather backward),
+    GCA_BENCH_SHARED_GRAPH (0; 1 = one graph for all 3 edge convs).
     bench.py additionally reads GCA_BENCH_ITERS (10, timed steps),
     GCA_BENCH_FAMILY (abc | scene) and GCA_BENCH_SCENE_GRID (64).
     """
@@ -210,6 +221,8 @@ def bench_config() -> Config:
         batch_size=int(os.environ.get("GCA_BENCH_BATCH", "10")),
         max_instances=48,
         encoder_bf16=bool(int(os.environ.get("GCA_BENCH_ENC_BF16", "0"))),
+        edge_backward=os.environ.get("GCA_BENCH_EDGE_BWD", "scatter"),
+        shared_graph=bool(int(os.environ.get("GCA_BENCH_SHARED_GRAPH", "0"))),
         mesh_shape=os.environ.get("GCA_BENCH_MESH", "1"),
         grouping=(GroupingConfig(item_batch_mode="vmap") if group_vmap
                   else GroupingConfig()),
@@ -282,6 +295,8 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     p("--precision", type=str, default=c.precision)
     p("--knn_impl", type=str, default=c.knn_impl)
     p("--encoder_bf16", type=int, default=int(c.encoder_bf16))
+    p("--edge_backward", type=str, default=c.edge_backward)
+    p("--shared_graph", type=int, default=int(c.shared_graph))
     p("--mesh_shape", type=str, default=c.mesh_shape)
     p("--seed", type=int, default=c.seed)
     p("--eval_min_npoint", type=int, default=c.eval_min_npoint)

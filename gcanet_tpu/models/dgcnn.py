@@ -31,6 +31,7 @@ class EdgeConv(fnn.Module):
     k: int
     knn_impl: str = "xla"
     compute_bf16: bool = False
+    edge_backward: str = "scatter"
 
     @fnn.compact
     def __call__(self, x, idx: Optional[jnp.ndarray] = None):
@@ -47,7 +48,8 @@ class EdgeConv(fnn.Module):
         dt = jnp.bfloat16 if self.compute_bf16 else x.dtype
         a = jnp.einsum("bni,io->bno", x, w1).astype(dt)
         c = jnp.einsum("bni,io->bno", x, w2 - w1).astype(dt)
-        h = knn_ops.gather_neighbors(a, idx) + c[:, :, None, :]
+        h = knn_ops.gather_neighbors_impl(a, idx, self.edge_backward) \
+            + c[:, :, None, :]
         h = fnn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
                           dtype=dt if self.compute_bf16 else None)(h)
         h = fnn.leaky_relu(h, negative_slope=0.2)
@@ -66,6 +68,15 @@ class DGCNNEncoderGn(fnn.Module):
     knn_impl: str = "xla"
     remat: bool = False
     compute_bf16: bool = False
+    # "scatter" (exact XLA scatter-add VJP) or "revgather:M" — see
+    # ops/knn.py::gather_neighbors_rev.  Applies to the 2nd/3rd edge convs
+    # (the 1st gathers the non-differentiated input, so it has no scatter).
+    edge_backward: str = "scatter"
+    # Reuse the layer-1 (position-normal) graph for all three edge convs
+    # instead of recomputing feature-space kNN per layer (the reference's
+    # dynamic-graph semantics, dgcnn-4.py:497-503).  Saves two kNN searches
+    # per step; accuracy deviation requires a convergence A/B before default.
+    shared_graph: bool = False
 
     @fnn.compact
     def __call__(self, x, idx1: Optional[jnp.ndarray] = None,
@@ -89,8 +100,11 @@ class DGCNNEncoderGn(fnn.Module):
         # pass instead of stored — gigabytes of activation memory for ~2x
         # step time; see Config.remat
         EC = fnn.remat(EdgeConv, static_argnums=()) if self.remat else EdgeConv
-        x2 = EC(64, 2, k, self.knn_impl, self.compute_bf16)(x1)
-        x3 = EC(128, 2, k, self.knn_impl, self.compute_bf16)(x2)
+        idx_shared = idx1 if self.shared_graph else None
+        x2 = EC(64, 2, k, self.knn_impl, self.compute_bf16,
+                self.edge_backward)(x1, idx_shared)
+        x3 = EC(128, 2, k, self.knn_impl, self.compute_bf16,
+                self.edge_backward)(x2, idx_shared)
 
         x_features = jnp.concatenate([x1, x2, x3], axis=-1)  # [B, N, 256]
         x4 = fnn.relu(DenseGN(1024, 8)(x_features))          # mlp1 + bnmlp1 (dgcnn-4.py:508)

@@ -78,7 +78,9 @@ class PrimitiveNet(fnn.Module):
         nbr1 = knn_ops.gather_neighbors(points, idx1)   # shared: layer 1 + normals_g
         feats = DGCNNEncoderGn(mode=mode, nn_nb=cfg.nn_nb, knn_impl=cfg.knn_impl,
                                remat=cfg.remat,
-                               compute_bf16=cfg.encoder_bf16)(points, idx1, nbr1)  # [B, N, 1280]
+                               compute_bf16=cfg.encoder_bf16,
+                               edge_backward=cfg.edge_backward,
+                               shared_graph=cfg.shared_graph)(points, idx1, nbr1)  # [B, N, 1280]
 
         # trunk (dgcnn-4.py:644-645): conv1 1280->512 GN8, conv2 512->256 GN4
         x = fnn.relu(DenseGN(512, 8)(feats))

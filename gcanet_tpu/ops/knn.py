@@ -112,6 +112,84 @@ def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(x[:, :, None, :], idx[..., None], axis=1)
 
 
+# ----------------------------------------------------------------------------
+# Reverse-graph backward for the neighbour gather.
+#
+# The VJP of ``gather_neighbors`` is a scatter-add of the [B, N, K, C]
+# cotangent into [B, N, C] — the single most expensive op in the train step
+# (2 x 54 ms at the bench shapes; BASELINE.md).  TPU row-gathers are ~2.4x
+# cheaper per index than row-scatters (measured, BASELINE.md r1 findings), so
+# re-expressing the scatter as a gather over the REVERSE graph pays when the
+# reverse index is cheap enough to build:
+#
+#   grad_x[j] = sum over in-edges e of j of g[e]
+#             = sum_m g[rev[j, m]]            rev built by sorting edges by
+#                                             target point
+#
+# ``max_in_degree`` bounds the reverse fan-in: points chosen as a neighbour
+# by more than ``max_in_degree`` others have their surplus gradient
+# contributions DROPPED (a documented approximation, like approx-kNN recall —
+# hub points in a kNN graph have unbounded in-degree).  Exactness and
+# convergence are A/B'd before this ever becomes a default; the oracle test
+# uses max_in_degree >= the true maximum, where the result is exact.
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_neighbors_rev(x: jnp.ndarray, idx: jnp.ndarray,
+                         max_in_degree: int = 64) -> jnp.ndarray:
+    """``gather_neighbors`` with a reverse-graph (gather-based) backward."""
+    return gather_neighbors(x, idx)
+
+
+def _gnr_fwd(x, idx, max_in_degree):
+    return gather_neighbors(x, idx), (idx, x.shape)
+
+
+def _gnr_bwd(max_in_degree, res, g):
+    idx, x_shape = res
+    b, n, k = idx.shape
+    e = n * k
+    m = max_in_degree
+    flat = idx.reshape(b, e).astype(jnp.int32)
+    order = jnp.argsort(flat, axis=1).astype(jnp.int32)        # [B, E]
+    sorted_tgt = jnp.take_along_axis(flat, order, axis=1)
+    # first sorted position of each target point (vectorised binary search)
+    pts = jnp.arange(n, dtype=jnp.int32)
+    starts = jax.vmap(
+        lambda st: jnp.searchsorted(st, pts, side="left"))(sorted_tgt)
+    ends = jnp.concatenate(
+        [starts[:, 1:], jnp.full((b, 1), e, starts.dtype)], axis=1)
+    pos = starts[:, :, None] + jnp.arange(m, dtype=jnp.int32)  # [B, N, M]
+    valid = pos < ends[:, :, None]
+    pos_c = jnp.minimum(pos, e - 1).reshape(b, n * m)
+    rev = jnp.take_along_axis(order, pos_c, axis=1).reshape(b, n, m)
+    rev = jnp.where(valid, rev, e)                             # pad row -> 0
+    c = g.shape[-1]
+    gf = jnp.concatenate(
+        [g.reshape(b, e, c), jnp.zeros((b, 1, c), g.dtype)], axis=1)
+    contrib = jnp.take_along_axis(
+        gf, rev.reshape(b, n * m)[..., None], axis=1)          # [B, N*M, C]
+    grad_x = jnp.sum(contrib.reshape(b, n, m, c), axis=2)
+    return grad_x.astype(jnp.result_type(g.dtype)).reshape(x_shape), None
+
+
+gather_neighbors_rev.defvjp(_gnr_fwd, _gnr_bwd)
+
+
+def gather_neighbors_impl(x: jnp.ndarray, idx: jnp.ndarray,
+                          backward: str = "scatter") -> jnp.ndarray:
+    """Neighbour gather with a selectable backward.
+
+    ``backward``: ``"scatter"`` (XLA scatter-add VJP, exact — the default) or
+    ``"revgather:M"`` (reverse-graph gather VJP, in-degree capped at M).
+    """
+    if backward.startswith("revgather"):
+        m = int(backward.split(":", 1)[1]) if ":" in backward else 64
+        return gather_neighbors_rev(x, idx, m)
+    return gather_neighbors(x, idx)
+
+
 def edge_feature_from_gathered(x: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
     """Edge feature when the neighbour rows are already gathered (lets callers
     share one gather between consumers of the same index set)."""

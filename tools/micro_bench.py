@@ -36,6 +36,9 @@ from gcanet_tpu.utils.timing import time_fn
 STAGES = sys.argv[1].split(",") if len(sys.argv) > 1 else [
     "knn", "encoder", "model_fwd", "graph", "cc", "grouping", "voxelize",
     "head", "losses", "step"]
+# extra opt-in stages (not in the default list): edgebwd — scatter vs
+# reverse-gather backward of the neighbour gather, plus the argsort that
+# builds the reverse index (the decision input for Config.edge_backward).
 
 cfg = bench_config()
 model = PrimitiveNet(cfg)
@@ -138,6 +141,29 @@ if "head" in STAGES:
 
     report("instance head fwd+bwd", time_fn(
         jax.jit(jax.grad(head_loss, argnums=1)), hvars, vx.feats))
+
+if "edgebwd" in STAGES:
+    # the two real backward scatters are [B,N,K]-edge cotangents into
+    # [B*N, 64] and [B*N, 128] (edge convs 2 and 3 at the bench shapes)
+    feat = jnp.asarray(jax.random.normal(rng, (b, n, 64)))
+    idx = knn_ops.knn_indices(feat, K, cfg.knn_impl)
+    for c_out in (64, 128):
+        gcot = jnp.asarray(jax.random.normal(rng, (b, n, K, c_out)))
+        xin = jnp.asarray(jax.random.normal(rng, (b, n, c_out)))
+
+        def bwd(kind):
+            def f(x_, g_):
+                _, vjp = jax.vjp(
+                    lambda xx: knn_ops.gather_neighbors_impl(xx, idx, kind), x_)
+                return vjp(g_)[0]
+            return jax.jit(f)
+
+        report(f"edge bwd scatter C={c_out}", time_fn(bwd("scatter"), xin, gcot))
+        for m in (48, 64, 96):
+            report(f"edge bwd revgather:{m} C={c_out}",
+                   time_fn(bwd(f"revgather:{m}"), xin, gcot))
+    sort_fn = jax.jit(lambda i: jnp.argsort(i.reshape(b, n * K), axis=1))
+    report("argsort edges (rev index)", time_fn(sort_fn, idx))
 
 if "losses" in STAGES:
     loss_fn = jax.jit(lambda o, bt: step_lib.compute_losses(cfg, o, bt)[0])

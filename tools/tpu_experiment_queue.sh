@@ -4,11 +4,15 @@
 # /tmp/tpu_queue_results.log (copy wins into BASELINE.md with the config).
 #
 # Usage: bash tools/tpu_experiment_queue.sh [step ...]   (default: all)
+#
+# NOTE: avoid the `profile` step unless needed — jax.profiler trace
+# collection has wedged the tunnel relay before (micro_bench/edgebwd gives
+# profiler-free attribution).
 
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/tpu_queue_results.log
-steps="${*:-health bench profile batch14 group_vmap serve}"
+steps="${*:-health bench edgebwd shared_graph revgather scene_bf16}"
 
 run() {  # run <name> <cmd...>
   local name=$1; shift
@@ -24,25 +28,45 @@ for s in $steps; do case $s in
   bench)
     # reproduce the 22.5 clouds/s headline at the current defaults
     run bench python bench.py ;;
+  edgebwd)
+    # scatter vs reverse-gather backward + the rev-index argsort, in
+    # isolation at the bench shapes (decision input for Config.edge_backward)
+    run edgebwd python tools/micro_bench.py edgebwd ;;
+  shared_graph)
+    # one graph for all 3 edge convs (saves 2 feature-space kNN per step);
+    # accuracy A/B must follow before any default change
+    run shared_graph env GCA_BENCH_SHARED_GRAPH=1 python bench.py ;;
+  revgather)
+    # reverse-gather edge backward at in-degree cap 64, alone and with the
+    # shared graph (one argsort serves both convs only conceptually — each
+    # conv still sorts its own idx; shared graph makes both idx identical,
+    # letting XLA CSE the sort)
+    run revgather env GCA_BENCH_EDGE_BWD=revgather:64 python bench.py
+    run revgather_shared env GCA_BENCH_EDGE_BWD=revgather:64 \
+      GCA_BENCH_SHARED_GRAPH=1 python bench.py ;;
+  scene_bf16)
+    # scene-family backbone bf16 A/B (scene is dense-conv bound): bench pair
+    # then the convergence pair (tools/scene_convergence_run.py)
+    run scene env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 python bench.py
+    run scene_bf16 env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 \
+      GCA_BENCH_SCENE_BF16=1 python bench.py ;;
+  scene_conv)
+    # scene accuracy A/B (fp32 vs bf16), synthetic, ~8 min each on a v5e
+    run scene_conv_fp32 python tools/scene_convergence_run.py --steps 1500 \
+      --out /tmp/scene_conv_fp32.jsonl
+    run scene_conv_bf16 python tools/scene_convergence_run.py --steps 1500 \
+      --bf16 --out /tmp/scene_conv_bf16.jsonl ;;
   profile)
-    # re-rank the cost structure at K=48 (ROUND_NOTES: the K=80 profile is
-    # stale; CC while-loops + per-(item,class) small-ops are a bigger slice)
+    # trace-based attribution — CAN WEDGE THE RELAY; last resort
     run profile python tools/profile_step.py
     run parse python tools/parse_trace.py \
       /tmp/jax_trace/plugins/profile/*/*.trace.json.gz 3 ;;
   batch14)
-    # B-sweep refinement at K=48: B=12 tied B=10 (22.60 vs 22.49); B=16 OOM
     run batch14 env GCA_BENCH_BATCH=14 python bench.py ;;
   group_vmap)
-    # batched grouping/CC re-test at p=100/K=48 (rejected -3% at p200/K80)
     run group_vmap env GCA_BENCH_GROUP_VMAP=1 python bench.py ;;
   serve)
-    # serving re-measure at K=48 (README still quotes K=80-era numbers)
     run serve python tools/serve_bench.py ;;
-  scene)
-    # first scene-family throughput number (not part of the default list —
-    # compile is a fresh ~10 min program on the tunnel)
-    run scene env GCA_BENCH_FAMILY=scene python bench.py ;;
   *) echo "unknown step: $s" ;;
 esac; done
 
