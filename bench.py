@@ -22,23 +22,30 @@ A100_REFERENCE_CLOUDS_PER_SEC = 5.0  # documented estimate, see BASELINE.md
 
 
 def main():
-    # Fail fast if the TPU tunnel relay is dead: every jax call (even
-    # jax.devices()) would otherwise block FOREVER at 0% CPU with no error.
-    # Healthy runs pay ~1s (a port connect); only a dead-looking relay
-    # triggers the bounded out-of-process device probe.
+    # Fail fast if the TPU tunnel is unusable: every jax call (even
+    # jax.devices()) blocks FOREVER at 0% CPU when the relay is dead, and a
+    # WEDGED relay (process up, ports open, device ops never complete —
+    # observed after jax.profiler traces) hangs exactly the same way.  A
+    # bounded out-of-process probe of a trivial device op distinguishes both
+    # from "healthy but compiling": the probe op is tiny and completes in
+    # seconds on any live relay, warm or cold.
     if os.environ.get("GCA_PLATFORM", "") != "cpu":
         import sys
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tools"))
         import tpu_health
 
-        if not tpu_health.relay_alive() and not tpu_health.device_op_ok(60):
+        probe_s = int(os.environ.get("GCA_BENCH_PROBE_TIMEOUT", "600"))
+        dead = not tpu_health.relay_alive()
+        if dead or not tpu_health.device_op_ok(probe_s):
             fam = os.environ.get("GCA_BENCH_FAMILY", "abc")
             print(json.dumps({
                 "metric": ("scene_" if fam == "scene" else "")
                           + "train_clouds_per_sec_per_chip_8k_pts",
                 "value": 0.0, "unit": "clouds/s", "vs_baseline": 0.0,
-                "error": "TPU tunnel relay dead (tools/tpu_health.py); "
+                "error": ("TPU tunnel relay dead" if dead else
+                          f"TPU relay wedged (device op timed out after "
+                          f"{probe_s}s)") + " (tools/tpu_health.py); "
                          "bench not run",
             }))
             raise SystemExit(3)

@@ -21,6 +21,26 @@ from gcanet_tpu.train import instances as inst_utils
 from gcanet_tpu.train import step as step_lib
 
 
+def _shard_inputs(mesh, *arrays):
+    """Device placement for serving inputs: plain device arrays single-chip,
+    batch-axis-sharded global arrays when serving over a mesh."""
+    if mesh is None:
+        return tuple(jnp.asarray(a) for a in arrays)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = NamedSharding(mesh, PartitionSpec("data"))
+    return tuple(jax.make_array_from_process_local_data(sh, np.asarray(a))
+                 for a in arrays)
+
+
+def _require_single_device(mesh, what: str):
+    if mesh is not None:
+        raise ValueError(
+            f"{what} runs batch-1 and cannot shard over a mesh "
+            f"(cfg.mesh_shape > 1) — use predict_batch/predict_stream with "
+            f"a batch divisible by the mesh size")
+
+
 class Predictor:
     """cluster_mode: 'grouping' (GCANet gated grouping + instance head) or
     'meanshift' (the HPNet-heritage embedding mean-shift of abc_utils.py:16-31,
@@ -39,6 +59,12 @@ class Predictor:
 
             with ocp.StandardCheckpointer() as ckptr:
                 self.state = ckptr.restore(checkpoint_dir, self.state)
+        # cfg.mesh_shape > 1: data-parallel serving — params replicated over
+        # the device mesh, batched inputs sharded along the batch axis
+        # (multi-chip throughput scaling for predict_batch/predict_stream)
+        self.mesh = step_lib.make_mesh(self.cfg)
+        if self.mesh is not None:
+            self.state = step_lib.replicate_to_mesh(self.state, self.mesh)
 
         @jax.jit
         def _forward(params, batch_stats, xyz, normals):
@@ -86,6 +112,7 @@ class Predictor:
         ~23 MB/s tunnel) is fetched only with ``return_embedding=True``
         (implied by the meanshift cluster mode and ``return_masks``).
         """
+        _require_single_device(self.mesh, "predict()")
         n = xyz.shape[0]
         if return_masks or self.cluster_mode == "meanshift":
             out = self._forward(self.state.params, self.state.batch_stats,
@@ -158,9 +185,12 @@ class Predictor:
             raise ValueError(
                 f"predict_batch expects xyz [B, N, 3]; got shape "
                 f"{np.shape(xyz)} — use predict() for a single [N, 3] cloud")
-        b, n, _ = xyz.shape
         dev = self._forward_fast(self.state.params, self.state.batch_stats,
-                                 jnp.asarray(xyz), jnp.asarray(normals))
+                                 *_shard_inputs(self.mesh, xyz, normals))
+        return self._finalize_batch(dev, *xyz.shape[:2])
+
+    def _finalize_batch(self, dev, b: int, n: int):
+        """Fetch one dispatched fast-path batch and build per-cloud dicts."""
         (merged, keep, conf, npoint, covered, prop_batch, tpp, ppp,
          off) = jax.device_get(dev[:-1])          # embedding not fetched
         merged = merged.reshape(b, n)
@@ -186,3 +216,142 @@ class Predictor:
                 "instance_labels": local,
             })
         return results
+
+    def predict_stream(self, batches, depth: int = 2):
+        """Pipelined batched inference: iterate ``(xyz [B, N, 3], normals)``
+        pairs, yield per-cloud prediction dicts in order.
+
+        See ``ScenePredictor.predict_stream`` for the scene family.
+
+        ``predict_batch`` serialises device compute, the device->host fetch
+        and host postprocess; on a fetch-bound link (the tunnelled TPU:
+        33 ms RTT + ~23 MB/s, BASELINE.md serving numbers) that leaves the
+        device idle during every fetch.  Here up to ``depth`` batches are
+        dispatched ahead (jax dispatch is async) before the oldest is
+        fetched, overlapping batch i's fetch+postprocess with batch i+1's
+        device compute — the steady-state cost is max(compute, fetch), not
+        their sum.  All batches must share one [B, N] shape (one compiled
+        program).
+        """
+        from collections import deque
+
+        pending = deque()
+        for xyz, normals in batches:
+            b, n = np.shape(xyz)[:2]
+            dev = self._forward_fast(self.state.params, self.state.batch_stats,
+                                     *_shard_inputs(self.mesh, xyz, normals))
+            pending.append((dev, b, n))
+            if len(pending) > depth:
+                yield from self._finalize_batch(*pending.popleft())
+        while pending:
+            yield from self._finalize_batch(*pending.popleft())
+
+
+class ScenePredictor:
+    """Scene-family (SoftGroup) serving: the switchover surface for reference
+    users who ran softgroup's ``test.py`` inference loop (per-scene semantic
+    labels, offsets and scored instance masks).
+
+    Same serving design as ``Predictor``: one jit program doing forward +
+    on-device instance extraction, only merged labels and small score tables
+    leave the device, and ``predict_stream`` pipelines dispatch ahead of the
+    fetch.  ``cls_offset`` maps instance-class columns to the dataset's
+    semantic ids (scannetv2: 2; s3dis: 0; stpls3d: 1; kitti: 11 — the
+    SceneTrainer variants)."""
+
+    def __init__(self, cfg: Config, checkpoint_dir: Optional[str] = None,
+                 cls_offset: int = 2, scene_grid: int = 64):
+        from gcanet_tpu.models.softgroup_scene import SoftGroupNet
+        from gcanet_tpu.train import scene_step
+
+        self.cfg = cfg
+        self.cls_offset = cls_offset
+        self.model = SoftGroupNet(cfg, scene_grid=scene_grid,
+                                  compute_bf16=cfg.scene_bf16)
+        tx = step_lib.make_optimizer(cfg)
+        self.state = scene_step.init_scene_state(cfg, self.model, tx,
+                                                 jax.random.PRNGKey(cfg.seed))
+        if checkpoint_dir:
+            import orbax.checkpoint as ocp
+
+            with ocp.StandardCheckpointer() as ckptr:
+                self.state = ckptr.restore(checkpoint_dir, self.state)
+        self.mesh = step_lib.make_mesh(cfg)
+        if self.mesh is not None:
+            self.state = step_lib.replicate_to_mesh(self.state, self.mesh)
+
+        model = self.model
+
+        @jax.jit
+        def _forward_fast(params, batch_stats, xyz, feats):
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              xyz, feats, train=False,
+                              rng=jax.random.PRNGKey(0))
+            merged, keep, conf, npoint, covered = \
+                inst_utils.merged_labels_device(
+                    out.proposals.point_pid, out.instance.cls_scores,
+                    out.instance.iou_scores, out.instance.mask_scores,
+                    out.proposals.valid, cfg.num_primitives)
+            sem_pred = jnp.argmax(out.semantic_scores, axis=-1)
+            return (merged, keep, conf, npoint, covered,
+                    out.proposals.batch, sem_pred, out.pt_offsets)
+
+        self._forward_fast = _forward_fast
+
+    def _finalize_batch(self, dev, b: int, n: int):
+        (merged, keep, conf, npoint, covered, prop_batch, sem_pred,
+         off) = jax.device_get(dev)
+        merged = merged.reshape(b, n)
+        covered = covered.reshape(b, n)
+        sem_pred = sem_pred.reshape(b, n)
+        off = off.reshape(b, n, 3)
+        bg_label = (self.cfg.num_primitives - 1) + self.cls_offset
+
+        results = []
+        for bi in range(b):
+            preds = inst_utils.instances_from_merged(
+                merged[bi], keep, conf, npoint, covered[bi],
+                prop_mask=(prop_batch == bi), label_offset=self.cls_offset)
+            # background-column predictions (instance class C-1) filtered
+            # exactly as SceneTrainer.test_one_epoch does
+            preds = [p for p in preds if p["label_id"] < bg_label]
+            results.append({
+                "semantic_preds": sem_pred[bi],
+                "pt_offsets": off[bi],
+                "instances": preds,
+                "instance_labels": merged[bi],
+            })
+        return results
+
+    def predict(self, xyz: np.ndarray, feats: np.ndarray) -> Dict:
+        """One scene: ``xyz [N, 3]``, ``feats [N, C]`` -> prediction dict."""
+        _require_single_device(self.mesh, "predict()")
+        dev = self._forward_fast(self.state.params, self.state.batch_stats,
+                                 jnp.asarray(xyz)[None],
+                                 jnp.asarray(feats)[None])
+        return self._finalize_batch(dev, 1, xyz.shape[0])[0]
+
+    def predict_batch(self, xyz: np.ndarray, feats: np.ndarray):
+        """``xyz [B, N, 3]``, ``feats [B, N, C]`` -> list of scene dicts."""
+        if np.ndim(xyz) != 3:
+            raise ValueError(
+                f"predict_batch expects xyz [B, N, 3]; got {np.shape(xyz)}")
+        dev = self._forward_fast(self.state.params, self.state.batch_stats,
+                                 *_shard_inputs(self.mesh, xyz, feats))
+        return self._finalize_batch(dev, *xyz.shape[:2])
+
+    def predict_stream(self, batches, depth: int = 2):
+        """Pipelined scene inference over ``(xyz, feats)`` batches — same
+        dispatch-ahead overlap as ``Predictor.predict_stream``."""
+        from collections import deque
+
+        pending = deque()
+        for xyz, feats in batches:
+            b, n = np.shape(xyz)[:2]
+            dev = self._forward_fast(self.state.params, self.state.batch_stats,
+                                     *_shard_inputs(self.mesh, xyz, feats))
+            pending.append((dev, b, n))
+            if len(pending) > depth:
+                yield from self._finalize_batch(*pending.popleft())
+        while pending:
+            yield from self._finalize_batch(*pending.popleft())

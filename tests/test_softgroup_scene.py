@@ -70,3 +70,41 @@ def test_softgroup_scene_bf16_matches_fp32():
 
     g = jax.grad(loss)(variables["params"])
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_scene_predictor_and_stream():
+    """ScenePredictor serving surface: predict / predict_batch /
+    predict_stream agree and emit well-formed scene dicts."""
+    from gcanet_tpu.data.synthetic import synth_scene_batch
+    from gcanet_tpu.serve import ScenePredictor
+
+    cfg = Config(num_points=256, batch_size=2, max_instances=16,
+                 grouping=GroupingConfig(radius=0.1, min_npoint=5,
+                                         cc_max_iters=16),
+                 instance_head=InstanceHeadConfig(grid_size=8,
+                                                  max_proposals=16))
+    pred = ScenePredictor(cfg, scene_grid=16)
+    batch = synth_scene_batch(cfg, 2, seed=5)
+    xyz = np.asarray(batch["xyz"], np.float32)
+    feats = np.asarray(batch["feats"], np.float32)
+
+    outs = pred.predict_batch(xyz, feats)
+    assert len(outs) == 2
+    bg_label = (cfg.num_primitives - 1) + pred.cls_offset
+    for o in outs:
+        assert o["semantic_preds"].shape == (cfg.num_points,)
+        assert o["pt_offsets"].shape == (cfg.num_points, 3)
+        for inst in o["instances"]:
+            assert pred.cls_offset <= inst["label_id"] < bg_label
+            assert inst["pred_mask"]["length"] == cfg.num_points
+
+    one = pred.predict(xyz[0], feats[0])
+    assert one["semantic_preds"].shape == (cfg.num_points,)
+
+    streamed = list(pred.predict_stream([(xyz, feats), (xyz, feats)]))
+    assert len(streamed) == 4
+    for g, w in zip(streamed[:2], outs):
+        np.testing.assert_array_equal(g["semantic_preds"],
+                                      w["semantic_preds"])
+        np.testing.assert_array_equal(g["instance_labels"],
+                                      w["instance_labels"])

@@ -125,3 +125,55 @@ def test_predictor_batch(tmp_path):
     np.testing.assert_array_equal(outs2[0]["instance_labels"],
                                   outs2[1]["instance_labels"])
     assert len(outs2[0]["instances"]) == len(outs2[1]["instances"])
+
+
+def test_predictor_stream_matches_batch(tmp_path):
+    """predict_stream (pipelined dispatch) must yield exactly
+    predict_batch's outputs, in order, across multiple batches."""
+    from gcanet_tpu.data.synthetic import synth_object
+    from gcanet_tpu.serve import Predictor
+
+    cfg = tiny_cfg(str(tmp_path), batch_size=2)
+    pred = Predictor(cfg)
+    rng = np.random.RandomState(7)
+    batches = []
+    for _ in range(3):
+        a, b = synth_object(cfg, rng), synth_object(cfg, rng)
+        batches.append((np.stack([a["gt_pc"], b["gt_pc"]]),
+                        np.stack([a["gt_normal"], b["gt_normal"]])))
+
+    want = [o for xyz, nrm in batches for o in pred.predict_batch(xyz, nrm)]
+    got = list(pred.predict_stream(iter(batches)))
+    assert len(got) == len(want) == 6
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g["instance_labels"],
+                                      w["instance_labels"])
+        np.testing.assert_allclose(g["type_per_point"], w["type_per_point"])
+        assert len(g["instances"]) == len(w["instances"])
+
+
+def test_predictor_mesh_serving(tmp_path):
+    """Data-parallel serving: predict_batch over a 2-device mesh equals the
+    single-device result (params replicated, batch axis sharded)."""
+    from gcanet_tpu.data.synthetic import synth_object
+    from gcanet_tpu.serve import Predictor
+
+    cfg = tiny_cfg(str(tmp_path), batch_size=2)
+    rng = np.random.RandomState(11)
+    a, b = synth_object(cfg, rng), synth_object(cfg, rng)
+    xyz = np.stack([a["gt_pc"], b["gt_pc"]])
+    nrm = np.stack([a["gt_normal"], b["gt_normal"]])
+
+    single = Predictor(cfg).predict_batch(xyz, nrm)
+    meshed_pred = Predictor(cfg.replace(mesh_shape="2"))
+    assert meshed_pred.mesh is not None
+    meshed = meshed_pred.predict_batch(xyz, nrm)
+    for g, w in zip(meshed, single):
+        np.testing.assert_array_equal(g["instance_labels"],
+                                      w["instance_labels"])
+        np.testing.assert_allclose(g["type_per_point"], w["type_per_point"],
+                                   rtol=2e-4, atol=1e-5)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        meshed_pred.predict(xyz[0], nrm[0])

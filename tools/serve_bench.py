@@ -25,8 +25,8 @@ from gcanet_tpu.runtime_setup import enable_compilation_cache
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--paths", default="fwd,predict,batch",
-                    help="comma subset of fwd,predict,batch")
+    ap.add_argument("--paths", default="fwd,predict,batch,stream",
+                    help="comma subset of fwd,predict,batch,stream")
     args = ap.parse_args()
     enable_compilation_cache()
 
@@ -40,6 +40,11 @@ def main():
     cfg = bench_config().replace(using_set_aggr=True)
     b = cfg.batch_size
     pred = Predictor(cfg)
+    paths_arg = set(args.paths.split(","))
+    if pred.mesh is not None and paths_arg & {"fwd", "predict"}:
+        # GCA_BENCH_MESH > 1: only the batched paths shard over the mesh
+        print(json.dumps({"note": "mesh serving — fwd/predict skipped"}))
+        args.paths = ",".join(paths_arg & {"batch", "stream"})
 
     batch = synth_batch(cfg, b, seed=0)
     xyz = np.asarray(batch["gt_pc"], np.float32)
@@ -86,6 +91,15 @@ def main():
         for _ in range(args.iters):
             pred.predict_batch(xyz, nrm)
         emit(f"serve_predict_batch_clouds_per_sec_b{b}", b * args.iters,
+             time.perf_counter() - t0)
+
+    if "stream" in paths:
+        # pipelined: batch i fetch/postprocess overlaps batch i+1 compute
+        list(pred.predict_stream([(xyz, nrm)]))    # compile + warm
+        t0 = time.perf_counter()
+        n_out = sum(1 for _ in pred.predict_stream(
+            (xyz, nrm) for _ in range(args.iters)))
+        emit(f"serve_predict_stream_clouds_per_sec_b{b}", n_out,
              time.perf_counter() - t0)
 
 
