@@ -162,6 +162,11 @@ class Config:
     # per-layer feature-space kNN (the reference's dynamic-graph semantics,
     # dgcnn-4.py:497-503).  Saves 2 kNN searches/step; accuracy A/B required.
     shared_graph: bool = False
+    # Graph degree for edge convs 2-3 (0 = nn_nb).  Neighbour lists are
+    # nearest-first, so under shared_graph this slices the layer-1 graph; with
+    # per-layer graphs it lowers the inner kNN's k.  The inner layers' gather/
+    # scatter cost scales linearly in this.  Accuracy A/B required.
+    nn_nb_inner: int = 0
     mesh_shape: str = "1"             # data-parallel devices, e.g. "8"
     seed: int = 0
     # ScanNetEval min region size (scene family): 0 = auto (reference
@@ -207,7 +212,8 @@ def bench_config() -> Config:
     devices, batch is the GLOBAL batch),
     GCA_BENCH_GROUP_VMAP (0; 1 = batched grouping/CC sweeps across items),
     GCA_BENCH_EDGE_BWD (scatter | revgather:M — edge-conv gather backward),
-    GCA_BENCH_SHARED_GRAPH (0; 1 = one graph for all 3 edge convs).
+    GCA_BENCH_SHARED_GRAPH (0; 1 = one graph for all 3 edge convs),
+    GCA_BENCH_NN_INNER (0 = nn_nb; graph degree for edge convs 2-3).
     bench.py additionally reads GCA_BENCH_ITERS (10, timed steps),
     GCA_BENCH_FAMILY (abc | scene) and GCA_BENCH_SCENE_GRID (64).
     """
@@ -223,6 +229,7 @@ def bench_config() -> Config:
         encoder_bf16=bool(int(os.environ.get("GCA_BENCH_ENC_BF16", "0"))),
         edge_backward=os.environ.get("GCA_BENCH_EDGE_BWD", "scatter"),
         shared_graph=bool(int(os.environ.get("GCA_BENCH_SHARED_GRAPH", "0"))),
+        nn_nb_inner=int(os.environ.get("GCA_BENCH_NN_INNER", "0")),
         mesh_shape=os.environ.get("GCA_BENCH_MESH", "1"),
         grouping=(GroupingConfig(item_batch_mode="vmap") if group_vmap
                   else GroupingConfig()),
@@ -297,6 +304,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     p("--encoder_bf16", type=int, default=int(c.encoder_bf16))
     p("--edge_backward", type=str, default=c.edge_backward)
     p("--shared_graph", type=int, default=int(c.shared_graph))
+    p("--nn_nb_inner", type=int, default=c.nn_nb_inner)
     p("--mesh_shape", type=str, default=c.mesh_shape)
     p("--seed", type=int, default=c.seed)
     p("--eval_min_npoint", type=int, default=c.eval_min_npoint)

@@ -108,14 +108,19 @@ def compute_param_loss(pred, t_gt, t_param_gt):
         ok = any_rows & gt_sum_nonzero & (n_rows > 0) & (gmax <= 10) & (mse <= 50)
         return jnp.where(ok, mse, 0.0), ok
 
+    del b
     total = 0.0
-    cnt = 0
-    for i in range(b):
-        for typ in _PARAM_TYPE_ORDER:
-            lo, hi = _PARAM_SLICES[typ]
-            l, ok = group_loss(pred[i], t_gt[i], t_param_gt[i], typ, lo, hi)
-            total = total + l
-            cnt = cnt + ok.astype(jnp.float32)
+    cnt = 0.0
+    # Groups are per-(item, type) independent, so vmap over the batch and keep
+    # only the 4 static type slices unrolled: 4 batched reductions instead of
+    # 4*B small-op groups (identical value; order of the mean is commutative).
+    for typ in _PARAM_TYPE_ORDER:
+        lo, hi = _PARAM_SLICES[typ]
+        l, ok = jax.vmap(
+            lambda p, t, g, typ=typ, lo=lo, hi=hi: group_loss(p, t, g, typ, lo, hi)
+        )(pred, t_gt, t_param_gt)
+        total = total + jnp.sum(l)
+        cnt = cnt + jnp.sum(ok.astype(jnp.float32))
     return total / jnp.maximum(cnt, 1.0)
 
 

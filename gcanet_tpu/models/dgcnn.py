@@ -77,6 +77,11 @@ class DGCNNEncoderGn(fnn.Module):
     # dynamic-graph semantics, dgcnn-4.py:497-503).  Saves two kNN searches
     # per step; accuracy deviation requires a convergence A/B before default.
     shared_graph: bool = False
+    # Graph degree for edge convs 2-3 (0 = nn_nb).  Neighbour lists are
+    # nearest-first (top-k by -distance), so with shared_graph the layer-1
+    # graph is sliced to its nearest nn_nb_inner entries; with per-layer
+    # graphs the inner kNN simply runs at the lower k.
+    nn_nb_inner: int = 0
 
     @fnn.compact
     def __call__(self, x, idx1: Optional[jnp.ndarray] = None,
@@ -100,10 +105,11 @@ class DGCNNEncoderGn(fnn.Module):
         # pass instead of stored — gigabytes of activation memory for ~2x
         # step time; see Config.remat
         EC = fnn.remat(EdgeConv, static_argnums=()) if self.remat else EdgeConv
-        idx_shared = idx1 if self.shared_graph else None
-        x2 = EC(64, 2, k, self.knn_impl, self.compute_bf16,
+        k2 = self.nn_nb_inner or k
+        idx_shared = idx1[..., :k2] if self.shared_graph else None
+        x2 = EC(64, 2, k2, self.knn_impl, self.compute_bf16,
                 self.edge_backward)(x1, idx_shared)
-        x3 = EC(128, 2, k, self.knn_impl, self.compute_bf16,
+        x3 = EC(128, 2, k2, self.knn_impl, self.compute_bf16,
                 self.edge_backward)(x2, idx_shared)
 
         x_features = jnp.concatenate([x1, x2, x3], axis=-1)  # [B, N, 256]

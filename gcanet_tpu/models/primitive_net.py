@@ -80,7 +80,8 @@ class PrimitiveNet(fnn.Module):
                                remat=cfg.remat,
                                compute_bf16=cfg.encoder_bf16,
                                edge_backward=cfg.edge_backward,
-                               shared_graph=cfg.shared_graph)(points, idx1, nbr1)  # [B, N, 1280]
+                               shared_graph=cfg.shared_graph,
+                               nn_nb_inner=cfg.nn_nb_inner)(points, idx1, nbr1)  # [B, N, 1280]
 
         # trunk (dgcnn-4.py:644-645): conv1 1280->512 GN8, conv2 512->256 GN4
         x = fnn.relu(DenseGN(512, 8)(feats))

@@ -119,6 +119,41 @@ def test_encoder_edge_backward_flags(backward):
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
 
 
+def test_encoder_nn_nb_inner():
+    """nn_nb_inner: k2 == k is identical to the default; k2 < k trains with
+    the expected sliced-graph shapes under both shared and per-layer graphs."""
+    from gcanet_tpu.models.dgcnn import DGCNNEncoderGn
+
+    rng = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(rng, (2, 96, 6))
+
+    base = DGCNNEncoderGn(mode=5, nn_nb=8, knn_impl="xla")
+    same = DGCNNEncoderGn(mode=5, nn_nb=8, knn_impl="xla", nn_nb_inner=8)
+    v = base.init(rng, pts)
+    np.testing.assert_array_equal(np.asarray(base.apply(v, pts)),
+                                  np.asarray(same.apply(v, pts)))
+
+    for shared in (False, True):
+        enc = DGCNNEncoderGn(mode=5, nn_nb=8, knn_impl="xla", nn_nb_inner=4,
+                             shared_graph=shared)
+        v2 = enc.init(rng, pts)
+        out = enc.apply(v2, pts)
+        assert out.shape == (2, 96, 1280)
+        g = jax.grad(lambda vv: jnp.sum(enc.apply(vv, pts) ** 2))(v2)
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree.leaves(g))
+
+    # under shared_graph, inner layers see the NEAREST k2 of the layer-1
+    # graph: k2 == k shared output equals slicing by construction
+    sh_full = DGCNNEncoderGn(mode=5, nn_nb=8, knn_impl="xla",
+                             shared_graph=True)
+    sh_same = DGCNNEncoderGn(mode=5, nn_nb=8, knn_impl="xla",
+                             shared_graph=True, nn_nb_inner=8)
+    v3 = sh_full.init(rng, pts)
+    np.testing.assert_array_equal(np.asarray(sh_full.apply(v3, pts)),
+                                  np.asarray(sh_same.apply(v3, pts)))
+
+
 def test_encoder_revgather_matches_scatter_grad():
     """At a high cap, the full encoder's param grads under revgather equal
     the scatter-backward grads (same params, same input)."""

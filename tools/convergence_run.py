@@ -50,6 +50,12 @@ def main():
                     help="edge-conv/embedding graph degree K (0 = Config "
                          "default, 48 since the round-2 K-sweep; pass 80 "
                          "for the reference's nn_nb)")
+    ap.add_argument("--shared-graph", action="store_true",
+                    help="reuse the first edge-conv kNN graph for all three "
+                         "edge convs (Config.shared_graph A/B)")
+    ap.add_argument("--nn-nb-inner", type=int, default=0,
+                    help="graph degree for edge convs 2-3 "
+                         "(Config.nn_nb_inner A/B; 0 = nn_nb)")
     ap.add_argument("--seed", type=int, default=0,
                     help="init/data seed family for repeat runs (eval "
                          "objects stay fixed so runs share the held-out set)")
@@ -73,6 +79,8 @@ def main():
     cfg = Config(num_points=args.points, batch_size=args.batch,
                  max_instances=args.max_instances, knn_impl=knn_impl,
                  encoder_bf16=args.encoder_bf16,
+                 shared_graph=args.shared_graph,
+                 nn_nb_inner=args.nn_nb_inner,
                  instance_head=InstanceHeadConfig(
                      max_proposals=args.max_proposals),
                  **({"nn_nb": args.nn_nb} if args.nn_nb else {}))
