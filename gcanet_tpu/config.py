@@ -160,7 +160,9 @@ class Config:
     edge_backward: str = "scatter"
     # Reuse the layer-1 position-normal graph for all 3 edge convs instead of
     # per-layer feature-space kNN (the reference's dynamic-graph semantics,
-    # dgcnn-4.py:497-503).  Saves 2 kNN searches/step; accuracy A/B required.
+    # dgcnn-4.py:497-503).  Saves 2 kNN searches/step (+1.7% measured) but
+    # REJECTED as default: convergence degrades 3/3 runs well outside seed
+    # noise (BASELINE.md 2026-08-19) — the dynamic graphs earn their cost.
     shared_graph: bool = False
     # Graph degree for edge convs 2-3 (0 = nn_nb).  Neighbour lists are
     # nearest-first, so under shared_graph this slices the layer-1 graph; with

@@ -75,7 +75,8 @@ class DGCNNEncoderGn(fnn.Module):
     # Reuse the layer-1 (position-normal) graph for all three edge convs
     # instead of recomputing feature-space kNN per layer (the reference's
     # dynamic-graph semantics, dgcnn-4.py:497-503).  Saves two kNN searches
-    # per step; accuracy deviation requires a convergence A/B before default.
+    # per step but REJECTED as a default — convergence degrades 3/3 A/B runs
+    # (BASELINE.md 2026-08-19); kept as an opt-in speed/accuracy trade.
     shared_graph: bool = False
     # Graph degree for edge convs 2-3 (0 = nn_nb).  Neighbour lists are
     # nearest-first (top-k by -distance), so with shared_graph the layer-1
