@@ -5,6 +5,12 @@
 #
 # Usage: bash tools/tpu_experiment_queue.sh [step ...]   (default: all)
 #
+# Every step re-gates on tools/tpu_health.py: the tunnel relay dies silently
+# (three times on 2026-08-19 alone) and a dead relay makes every jax call
+# block forever — without the gate each queued step burns its full 1h
+# timeout against a wedged device.  The gate waits (5-min retries) instead
+# of exiting so the queue survives a mid-run wedge and resumes on recovery.
+#
 # NOTE: avoid the `profile` step unless needed — jax.profiler trace
 # collection has wedged the tunnel relay before (micro_bench/edgebwd gives
 # profiler-free attribution).
@@ -12,61 +18,73 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/tpu_queue_results.log
-steps="${*:-health bench edgebwd shared_graph revgather scene_bf16}"
+steps="${*:-bench inner scene_conv serve group_vmap micro}"
+
+waittpu() {
+  until GCA_TPU_PROBE_TIMEOUT=120 timeout 180 python tools/tpu_health.py \
+      >> "$LOG" 2>&1; do
+    echo "$(date -u +%H:%M) tpu not ready, retrying in 300s" | tee -a "$LOG"
+    sleep 300
+  done
+}
 
 run() {  # run <name> <cmd...>
   local name=$1; shift
+  waittpu
   echo "=== $name: $* ===" | tee -a "$LOG"
-  timeout 3600 "$@" 2>&1 | grep -v cpu_aot_loader | tail -20 | tee -a "$LOG"
+  timeout 3600 "$@" 2>&1 | grep -v cpu_aot_loader | tail -30 | tee -a "$LOG"
   echo "--- $name exit=$? ---" | tee -a "$LOG"
 }
 
 for s in $steps; do case $s in
   health)
-    # fail-fast: every later step hangs forever if the relay is dead
     python tools/tpu_health.py || exit 3 ;;
   bench)
-    # reproduce the 22.5 clouds/s headline at the current defaults
+    # reproduce the headline at the current defaults (23.2 on the fast relay
+    # host, 22.5 on the session-5 host — pair A/Bs same-host, same-hour)
     run bench python bench.py ;;
-  edgebwd)
-    # scatter vs reverse-gather backward + the rev-index argsort, in
-    # isolation at the bench shapes (decision input for Config.edge_backward)
-    run edgebwd python tools/micro_bench.py edgebwd ;;
-  shared_graph)
-    # one graph for all 3 edge convs (saves 2 feature-space kNN per step);
-    # accuracy A/B must follow before any default change
-    run shared_graph env GCA_BENCH_SHARED_GRAPH=1 python bench.py ;;
-  revgather)
-    # reverse-gather edge backward at in-degree cap 64, alone and with the
-    # shared graph (one argsort serves both convs only conceptually — each
-    # conv still sorts its own idx; shared graph makes both idx identical,
-    # letting XLA CSE the sort)
-    run revgather env GCA_BENCH_EDGE_BWD=revgather:64 python bench.py
-    run revgather_shared env GCA_BENCH_EDGE_BWD=revgather:64 \
-      GCA_BENCH_SHARED_GRAPH=1 python bench.py ;;
-  scene_bf16)
-    # scene-family backbone bf16 A/B (scene is dense-conv bound): bench pair
-    # then the convergence pair (tools/scene_convergence_run.py)
-    run scene env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 python bench.py
-    run scene_bf16 env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 \
-      GCA_BENCH_SCENE_BF16=1 python bench.py ;;
+  inner)
+    # nn_nb_inner: lower graph degree for edge convs 2-3 only (layer-1 K=48
+    # kept); their gather/scatter cost is linear in k.  Paired sweep; a win
+    # needs the convergence A/B (tools/convergence_run.py --nn-nb-inner N,
+    # default + --hard mixes) before any default change
+    run inner_ctrl  python bench.py
+    run inner32     env GCA_BENCH_NN_INNER=32 python bench.py
+    run inner24     env GCA_BENCH_NN_INNER=24 python bench.py
+    run inner_ctrl2 python bench.py ;;
   scene_conv)
-    # scene accuracy A/B (fp32 vs bf16), synthetic, ~8 min each on a v5e
-    run scene_conv_fp32 python tools/scene_convergence_run.py --steps 1500 \
-      --out /tmp/scene_conv_fp32.jsonl
-    run scene_conv_bf16 python tools/scene_convergence_run.py --steps 1500 \
-      --bf16 --out /tmp/scene_conv_bf16.jsonl ;;
+    # scene-family bf16 accuracy gate (bench win already measured: 19.50 vs
+    # 16.17 clouds/s, +20.6%); 2 seeds each, ~8 min per run on a v5e
+    run scene_fp32_s0 python tools/scene_convergence_run.py --steps 1500 \
+      --out /tmp/scene_conv_fp32_s0.jsonl
+    run scene_bf16_s0 python tools/scene_convergence_run.py --steps 1500 \
+      --bf16 --out /tmp/scene_conv_bf16_s0.jsonl
+    run scene_fp32_s1 python tools/scene_convergence_run.py --steps 1500 \
+      --seed 1 --out /tmp/scene_conv_fp32_s1.jsonl
+    run scene_bf16_s1 python tools/scene_convergence_run.py --steps 1500 \
+      --seed 1 --bf16 --out /tmp/scene_conv_bf16_s1.jsonl ;;
+  serve)
+    # K=48 serving re-measure (the 2026-08-19 21:24 numbers are contaminated
+    # by a concurrent CPU drive; run this on an otherwise idle host)
+    run serve python tools/serve_bench.py ;;
+  group_vmap)
+    # batched-CC grouping re-test at p=100/K=48 (rejected -3% at p=200/K=80)
+    run group_vmap env GCA_BENCH_GROUP_VMAP=1 python bench.py
+    run group_ctrl python bench.py ;;
+  micro)
+    # K=48 per-stage attribution (profiler-free; decision input for the
+    # next perf lever ranking)
+    run micro python tools/micro_bench.py \
+      knn,encoder,model_fwd,graph,cc,grouping,voxelize,head,losses,step ;;
+  edgebwd)
+    run edgebwd python tools/micro_bench.py edgebwd ;;
+  batch14)
+    run batch14 env GCA_BENCH_BATCH=14 python bench.py ;;
   profile)
     # trace-based attribution — CAN WEDGE THE RELAY; last resort
     run profile python tools/profile_step.py
     run parse python tools/parse_trace.py \
       /tmp/jax_trace/plugins/profile/*/*.trace.json.gz 3 ;;
-  batch14)
-    run batch14 env GCA_BENCH_BATCH=14 python bench.py ;;
-  group_vmap)
-    run group_vmap env GCA_BENCH_GROUP_VMAP=1 python bench.py ;;
-  serve)
-    run serve python tools/serve_bench.py ;;
   *) echo "unknown step: $s" ;;
 esac; done
 
