@@ -52,6 +52,24 @@ for s in $steps; do case $s in
     run inner32     env GCA_BENCH_NN_INNER=32 python bench.py
     run inner24     env GCA_BENCH_NN_INNER=24 python bench.py
     run inner_ctrl2 python bench.py ;;
+  inner_conv)
+    # convergence gates for the inner-degree win (bench: inner=24 30.3,
+    # inner=32 27.1, control 23.2 clouds/s).  Protocol matches the K-sweep:
+    # 1000 steps, step-1000 mIoU/type-mIoU, default + hard mixes, seed-2
+    # repeat on the default mix.  Controls on file (inner=0/K=48): default
+    # s0 0.857/0.975, default s2 0.884/0.982, hard s0 0.869/0.960.
+    run i24_def_s0 python tools/convergence_run.py --steps 1000 \
+      --nn-nb-inner 24 --out /tmp/conv_i24_def_s0.jsonl
+    run i24_hard_s0 python tools/convergence_run.py --steps 1000 \
+      --nn-nb-inner 24 --hard --out /tmp/conv_i24_hard_s0.jsonl
+    run i24_def_s2 python tools/convergence_run.py --steps 1000 \
+      --nn-nb-inner 24 --seed 2 --out /tmp/conv_i24_def_s2.jsonl
+    run i32_def_s0 python tools/convergence_run.py --steps 1000 \
+      --nn-nb-inner 32 --out /tmp/conv_i32_def_s0.jsonl
+    run i32_hard_s0 python tools/convergence_run.py --steps 1000 \
+      --nn-nb-inner 32 --hard --out /tmp/conv_i32_hard_s0.jsonl
+    run i32_def_s2 python tools/convergence_run.py --steps 1000 \
+      --nn-nb-inner 32 --seed 2 --out /tmp/conv_i32_def_s2.jsonl ;;
   scene_conv)
     # scene-family bf16 accuracy gate (bench win already measured: 19.50 vs
     # 16.17 clouds/s, +20.6%); 2 seeds each, ~8 min per run on a v5e
