@@ -70,6 +70,18 @@ for s in $steps; do case $s in
       --nn-nb-inner 32 --hard --out /tmp/conv_i32_hard_s0.jsonl
     run i32_def_s2 python tools/convergence_run.py --steps 1000 \
       --nn-nb-inner 32 --seed 2 --out /tmp/conv_i32_def_s2.jsonl ;;
+  inner_perf)
+    # perf follow-ups at the inner=24 candidate: the smaller [B,N,24,C]
+    # edge tensors for layers 2-3 may move the OOM boundary (B re-sweep),
+    # re-rank the stage attribution, and re-test batched grouping (the
+    # grouping slice is relatively bigger once the edge convs shrink)
+    run i24_bench python bench.py
+    run i24_b12 env GCA_BENCH_NN_INNER=24 GCA_BENCH_BATCH=12 python bench.py
+    run i24_b14 env GCA_BENCH_NN_INNER=24 GCA_BENCH_BATCH=14 python bench.py
+    run i24_micro env GCA_BENCH_NN_INNER=24 python tools/micro_bench.py \
+      knn,encoder,model_fwd,graph,cc,grouping,voxelize,head,losses,step
+    run i24_gvmap env GCA_BENCH_NN_INNER=24 GCA_BENCH_GROUP_VMAP=1 \
+      python bench.py ;;
   scene_conv)
     # scene-family bf16 accuracy gate (bench win already measured: 19.50 vs
     # 16.17 clouds/s, +20.6%); 2 seeds each, ~8 min per run on a v5e
