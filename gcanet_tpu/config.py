@@ -36,6 +36,9 @@ class GroupingConfig:
     high_frac: float = 0.3            # primary threshold (hierarchical_aggregation.cpp:61)
     set_aggr_r_coeff: float = 0.01    # r_set = coeff * sqrt(primary_npoint) (hierarchical_aggregation.cu:51)
     cc_max_iters: int = 64            # label-propagation budget for connected components
+    # CC sweep implementation: "xla" (select+min reduce) or "pallas" (tiled
+    # VMEM kernel, ops/cc_pallas.py).  A/B via GCA_BENCH_CC_PALLAS=1.
+    cc_impl: str = "xla"
     # "map" (default): sequential lax.map over batch items — one N x N working
     # set at a time, every CC while-loop exits as soon as ITS item converges.
     # "vmap": batch the graphs/CC sweeps across items — B x N x N working set,
@@ -215,7 +218,8 @@ def bench_config() -> Config:
     GCA_BENCH_GROUP_VMAP (0; 1 = batched grouping/CC sweeps across items),
     GCA_BENCH_EDGE_BWD (scatter | revgather:M — edge-conv gather backward),
     GCA_BENCH_SHARED_GRAPH (0; 1 = one graph for all 3 edge convs),
-    GCA_BENCH_NN_INNER (0 = nn_nb; graph degree for edge convs 2-3).
+    GCA_BENCH_NN_INNER (0 = nn_nb; graph degree for edge convs 2-3),
+    GCA_BENCH_CC_PALLAS (0; 1 = Pallas tiled CC sweep, ops/cc_pallas.py).
     bench.py additionally reads GCA_BENCH_ITERS (10, timed steps),
     GCA_BENCH_FAMILY (abc | scene) and GCA_BENCH_SCENE_GRID (64).
     """
@@ -224,6 +228,8 @@ def bench_config() -> Config:
     props = int(os.environ.get("GCA_BENCH_PROPOSALS", "0"))
     nn_nb = int(os.environ.get("GCA_BENCH_NN", "0"))
     group_vmap = bool(int(os.environ.get("GCA_BENCH_GROUP_VMAP", "0")))
+    cc_impl = ("pallas" if int(os.environ.get("GCA_BENCH_CC_PALLAS", "0"))
+               else "xla")
     return Config(
         num_points=int(os.environ.get("GCA_BENCH_POINTS", "8192")),
         batch_size=int(os.environ.get("GCA_BENCH_BATCH", "10")),
@@ -233,8 +239,9 @@ def bench_config() -> Config:
         shared_graph=bool(int(os.environ.get("GCA_BENCH_SHARED_GRAPH", "0"))),
         nn_nb_inner=int(os.environ.get("GCA_BENCH_NN_INNER", "0")),
         mesh_shape=os.environ.get("GCA_BENCH_MESH", "1"),
-        grouping=(GroupingConfig(item_batch_mode="vmap") if group_vmap
-                  else GroupingConfig()),
+        grouping=GroupingConfig(
+            item_batch_mode="vmap" if group_vmap else "map",
+            cc_impl=cc_impl),
         instance_head=(InstanceHeadConfig(max_proposals=props) if props
                        else InstanceHeadConfig()),
         **({"nn_nb": nn_nb} if nn_nb else {}))

@@ -132,12 +132,20 @@ def gated_neighbor_mask(
     return nbr, class_valid
 
 
-def connected_components(nbr: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:
+def connected_components(nbr: jnp.ndarray, max_iters: int = 64,
+                         impl: str = "xla") -> jnp.ndarray:
     """Min-label connected components over a symmetric boolean adjacency.
 
     Returns per-point root label = min point index in the component.
     Replaces the host BFS at hierarchical_aggregation.cpp:11-42.
+
+    impl: "xla" (select+min reduce per sweep) or "pallas" (tiled VMEM sweep,
+    ops/cc_pallas.py — interpreter-lowered off-TPU).
     """
+    if impl == "pallas":
+        from gcanet_tpu.ops import cc_pallas
+
+        return cc_pallas.connected_components_pallas(nbr, max_iters)
     n = nbr.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
 
@@ -197,7 +205,7 @@ def build_proposals(
         shifted_i, cls_i, emb_i, param_i = args
         nbr, class_valid = gated_neighbor_mask(
             shifted_i, cls_i, emb_i, param_i, num_classes, cfg)
-        labels = connected_components(nbr, cfg.cc_max_iters)
+        labels = connected_components(nbr, cfg.cc_max_iters, cfg.cc_impl)
         csize, size_at_root, center_at_root = _cc_stats(labels, shifted_i)
         return labels, csize, size_at_root, center_at_root, class_valid
 

@@ -104,9 +104,10 @@ if "graph" in STAGES:
 if "cc" in STAGES:
     nbr_all = graph_fn((shifted, cls_argmax, emb, param))
     cc_fn = jax.jit(lambda nb: jax.lax.map(
-        lambda m: grouping_ops.connected_components(m, cfg.grouping.cc_max_iters),
+        lambda m: grouping_ops.connected_components(
+            m, cfg.grouping.cc_max_iters, cfg.grouping.cc_impl),
         nb))
-    report("grouping: CC (given graph)", time_fn(cc_fn, nbr_all))
+    report(f"grouping: CC ({cfg.grouping.cc_impl})", time_fn(cc_fn, nbr_all))
 
 if "grouping" in STAGES:
     gp = jax.jit(lambda s, c, e, pp: grouping_ops.build_proposals(

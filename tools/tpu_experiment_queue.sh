@@ -71,17 +71,26 @@ for s in $steps; do case $s in
     run i32_def_s2 python tools/convergence_run.py --steps 1000 \
       --nn-nb-inner 32 --seed 2 --out /tmp/conv_i32_def_s2.jsonl ;;
   inner_perf)
-    # perf follow-ups at the inner=24 candidate: the smaller [B,N,24,C]
-    # edge tensors for layers 2-3 may move the OOM boundary (B re-sweep),
+    # perf follow-ups at the adopted inner-degree candidate (INNER=24|32,
+    # whichever passes the convergence gate): the smaller [B,N,k2,C] edge
+    # tensors for layers 2-3 may move the OOM boundary (B re-sweep),
     # re-rank the stage attribution, and re-test batched grouping (the
     # grouping slice is relatively bigger once the edge convs shrink)
-    run i24_bench python bench.py
-    run i24_b12 env GCA_BENCH_NN_INNER=24 GCA_BENCH_BATCH=12 python bench.py
-    run i24_b14 env GCA_BENCH_NN_INNER=24 GCA_BENCH_BATCH=14 python bench.py
-    run i24_micro env GCA_BENCH_NN_INNER=24 python tools/micro_bench.py \
+    ik="${INNER:-24}"
+    run i${ik}_bench python bench.py
+    run i${ik}_b12 env GCA_BENCH_NN_INNER=$ik GCA_BENCH_BATCH=12 python bench.py
+    run i${ik}_b14 env GCA_BENCH_NN_INNER=$ik GCA_BENCH_BATCH=14 python bench.py
+    run i${ik}_micro env GCA_BENCH_NN_INNER=$ik python tools/micro_bench.py \
       knn,encoder,model_fwd,graph,cc,grouping,voxelize,head,losses,step
-    run i24_gvmap env GCA_BENCH_NN_INNER=24 GCA_BENCH_GROUP_VMAP=1 \
+    run i${ik}_gvmap env GCA_BENCH_NN_INNER=$ik GCA_BENCH_GROUP_VMAP=1 \
       python bench.py ;;
+  cc_pallas)
+    # Pallas tiled CC sweep vs the XLA select+min sweep (ops/cc_pallas.py).
+    # Stage-level A/B first (CC in isolation), then end-to-end.
+    run cc_xla    python tools/micro_bench.py cc
+    run cc_pal    env GCA_BENCH_CC_PALLAS=1 python tools/micro_bench.py cc
+    run cc_bench  env GCA_BENCH_CC_PALLAS=1 python bench.py
+    run cc_ctrl   python bench.py ;;
   scene_conv)
     # scene-family bf16 accuracy gate (bench win already measured: 19.50 vs
     # 16.17 clouds/s, +20.6%); 2 seeds each, ~8 min per run on a v5e
