@@ -70,6 +70,18 @@ for s in $steps; do case $s in
       --nn-nb-inner 32 --hard --out /tmp/conv_i32_hard_s0.jsonl
     run i32_def_s2 python tools/convergence_run.py --steps 1000 \
       --nn-nb-inner 32 --seed 2 --out /tmp/conv_i32_def_s2.jsonl ;;
+  inner_tiebreak)
+    # i32 gate came back 2/3 (def_s0 type 1.000 PASS, def_s2 0.894 low,
+    # hard_s0 0.907 low-ish): seed-3 default pair (candidate + control —
+    # no control exists at this seed) + a second hard seed decide adoption
+    run i32_def_s3 python tools/convergence_run.py --steps 1000 \
+      --nn-nb-inner 32 --seed 3 --out /tmp/conv_i32_def_s3.jsonl
+    run k48_def_s3 python tools/convergence_run.py --steps 1000 \
+      --seed 3 --out /tmp/conv_k48_def_s3.jsonl
+    run i32_hard_s2 python tools/convergence_run.py --steps 1000 \
+      --nn-nb-inner 32 --hard --seed 2 --out /tmp/conv_i32_hard_s2.jsonl
+    run k48_hard_s2 python tools/convergence_run.py --steps 1000 \
+      --hard --seed 2 --out /tmp/conv_k48_hard_s2.jsonl ;;
   inner_perf)
     # perf follow-ups at the adopted inner-degree candidate (INNER=24|32,
     # whichever passes the convergence gate): the smaller [B,N,k2,C] edge
