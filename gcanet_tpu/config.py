@@ -179,9 +179,11 @@ class Config:
     # softgroup/evaluation/instance_eval.py:25-28
     eval_min_npoint: int = 0
     # bf16 compute in the scene-family backbone U-Net (dense-conv FLOP/HBM
-    # bound, unlike the ABC family's index-bound edge path).  Off by default
-    # pending a TPU convergence A/B; GCA_BENCH_SCENE_BF16=1 benches it.
-    scene_bf16: bool = False
+    # bound, unlike the ABC family's index-bound edge path).  Default ON:
+    # +20.6% throughput (19.50 vs 16.17 clouds/s) and the 2-seed convergence
+    # A/B matched the fp32 plateau (sem-mIoU ~0.95, AP50 0.667 from step 750
+    # on both; BASELINE.md 2026-08-20).  --scene_bf16 0 = strict fp32.
+    scene_bf16: bool = True
 
     grouping: GroupingConfig = dataclasses.field(default_factory=GroupingConfig)
     instance_head: InstanceHeadConfig = dataclasses.field(default_factory=InstanceHeadConfig)
