@@ -30,9 +30,22 @@ waittpu() {
 
 run() {  # run <name> <cmd...>
   local name=$1; shift
+  # GCA_QUEUE_DEADLINE (unix epoch seconds) bounds the whole queue: the
+  # round driver runs bench.py on the one TPU chip at round end, and a
+  # queued run still holding the device would block it.  Past-deadline
+  # steps are skipped; an in-flight step is killed when it crosses the
+  # deadline (its partial JSONL still feeds tools/gate_report.py).
+  local limit=3600
+  if [[ -n "${GCA_QUEUE_DEADLINE:-}" ]]; then
+    limit=$(( GCA_QUEUE_DEADLINE - $(date +%s) ))
+    if (( limit < 120 )); then
+      echo "=== $name SKIPPED (deadline reached) ===" | tee -a "$LOG"
+      return
+    fi
+  fi
   waittpu
   echo "=== $name: $* ===" | tee -a "$LOG"
-  timeout 3600 "$@" 2>&1 | grep -v cpu_aot_loader | tail -30 | tee -a "$LOG"
+  timeout "$limit" "$@" 2>&1 | grep -v cpu_aot_loader | tail -30 | tee -a "$LOG"
   echo "--- $name exit=$? ---" | tee -a "$LOG"
 }
 
