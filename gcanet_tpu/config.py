@@ -167,11 +167,20 @@ class Config:
     # REJECTED as default: convergence degrades 3/3 runs well outside seed
     # noise (BASELINE.md 2026-08-19) — the dynamic graphs earn their cost.
     shared_graph: bool = False
-    # Graph degree for edge convs 2-3 (0 = nn_nb).  Neighbour lists are
-    # nearest-first, so under shared_graph this slices the layer-1 graph; with
-    # per-layer graphs it lowers the inner kNN's k.  The inner layers' gather/
-    # scatter cost scales linearly in this.  Accuracy A/B required.
-    nn_nb_inner: int = 0
+    # Graph degree for edge convs 2-3 (0 = nn_nb; clamped to nn_nb).
+    # Neighbour lists are nearest-first, so under shared_graph this slices the
+    # layer-1 graph; with per-layer graphs it lowers the inner kNN's k.  The
+    # inner layers' gathers/scatters are the step's cost floor and scale
+    # linearly in this.  Default 32: +17.3% paired throughput (27.13 vs 23.12
+    # clouds/s at B=10/N=8192/K=48) and the default-mix convergence gate shows
+    # NO seed-reproducible degradation (step-1000 type-mIoU 1.000 / 0.894 /
+    # 1.000 on seeds 0/2/3 vs controls 0.975 / 0.982 — the reproducible-drop
+    # criterion that rejected K=40 and inner=24 does not hold; BASELINE.md
+    # 2026-08-20).  Provisional: one borderline hard-mix point (0.907 vs
+    # 0.960 s0); the hard-seed-2 pair + paired s3 control stay queued
+    # (tools/tpu_experiment_queue.sh inner_tiebreak) — revert to 0 if they
+    # reproduce a drop.  --nn_nb_inner 0 = uniform-K strict parity.
+    nn_nb_inner: int = 32
     mesh_shape: str = "1"             # data-parallel devices, e.g. "8"
     seed: int = 0
     # ScanNetEval min region size (scene family): 0 = auto (reference
@@ -220,7 +229,8 @@ def bench_config() -> Config:
     GCA_BENCH_GROUP_VMAP (0; 1 = batched grouping/CC sweeps across items),
     GCA_BENCH_EDGE_BWD (scatter | revgather:M — edge-conv gather backward),
     GCA_BENCH_SHARED_GRAPH (0; 1 = one graph for all 3 edge convs),
-    GCA_BENCH_NN_INNER (0 = nn_nb; graph degree for edge convs 2-3),
+    GCA_BENCH_NN_INNER (unset = Config default 32; 0 = nn_nb-uniform;
+    graph degree for edge convs 2-3),
     GCA_BENCH_CC_PALLAS (0; 1 = Pallas tiled CC sweep, ops/cc_pallas.py).
     bench.py additionally reads GCA_BENCH_ITERS (10, timed steps),
     GCA_BENCH_FAMILY (abc | scene) and GCA_BENCH_SCENE_GRID (64).
@@ -239,7 +249,8 @@ def bench_config() -> Config:
         encoder_bf16=bool(int(os.environ.get("GCA_BENCH_ENC_BF16", "0"))),
         edge_backward=os.environ.get("GCA_BENCH_EDGE_BWD", "scatter"),
         shared_graph=bool(int(os.environ.get("GCA_BENCH_SHARED_GRAPH", "0"))),
-        nn_nb_inner=int(os.environ.get("GCA_BENCH_NN_INNER", "0")),
+        **({"nn_nb_inner": int(os.environ["GCA_BENCH_NN_INNER"])}
+           if "GCA_BENCH_NN_INNER" in os.environ else {}),
         mesh_shape=os.environ.get("GCA_BENCH_MESH", "1"),
         grouping=GroupingConfig(
             item_batch_mode="vmap" if group_vmap else "map",

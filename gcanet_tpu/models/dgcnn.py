@@ -106,7 +106,9 @@ class DGCNNEncoderGn(fnn.Module):
         # pass instead of stored — gigabytes of activation memory for ~2x
         # step time; see Config.remat
         EC = fnn.remat(EdgeConv, static_argnums=()) if self.remat else EdgeConv
-        k2 = self.nn_nb_inner or k
+        # clamped to k: the knob only ever LOWERS the inner degree, so tiny
+        # test/dryrun configs (nn_nb < the production default) are unaffected
+        k2 = min(self.nn_nb_inner, k) if self.nn_nb_inner else k
         idx_shared = idx1[..., :k2] if self.shared_graph else None
         x2 = EC(64, 2, k2, self.knn_impl, self.compute_bf16,
                 self.edge_backward)(x1, idx_shared)
