@@ -84,11 +84,13 @@ for s in $steps; do case $s in
     run i32_def_s2 python tools/convergence_run.py --steps 1000 \
       --nn-nb-inner 32 --seed 2 --out /tmp/conv_i32_def_s2.jsonl ;;
   inner_tiebreak)
-    # i32 gate came back 2/3 (def_s0 type 1.000 PASS, def_s2 0.894 low,
-    # hard_s0 0.907 low-ish): seed-3 default pair (candidate + control —
-    # no control exists at this seed) + a second hard seed decide adoption
-    run i32_def_s3 python tools/convergence_run.py --steps 1000 \
-      --nn-nb-inner 32 --seed 3 --out /tmp/conv_i32_def_s3.jsonl
+    # Remaining confirmation pairs for the (provisionally ADOPTED,
+    # BASELINE.md 2026-08-20 session 9) nn_nb_inner=32 default:
+    # i32_def_s3 already ran (0.858/1.000 — PASS); still pending are its
+    # paired control and the second hard seed.  Collate with
+    #   python tools/gate_report.py /tmp/conv_*.jsonl \
+    #     --pair i32_def_s3=k48_def_s3 --pair i32_hard_s2=k48_hard_s2
+    # REVERT Config.nn_nb_inner to 0 if the drop reproduces.
     run k48_def_s3 python tools/convergence_run.py --steps 1000 \
       --seed 3 --out /tmp/conv_k48_def_s3.jsonl
     run i32_hard_s2 python tools/convergence_run.py --steps 1000 \
