@@ -171,16 +171,16 @@ class Config:
     # Neighbour lists are nearest-first, so under shared_graph this slices the
     # layer-1 graph; with per-layer graphs it lowers the inner kNN's k.  The
     # inner layers' gathers/scatters are the step's cost floor and scale
-    # linearly in this.  Default 32: +17.3% paired throughput (27.13 vs 23.12
-    # clouds/s at B=10/N=8192/K=48) and the default-mix convergence gate shows
-    # NO seed-reproducible degradation (step-1000 type-mIoU 1.000 / 0.894 /
-    # 1.000 on seeds 0/2/3 vs controls 0.975 / 0.982 — the reproducible-drop
-    # criterion that rejected K=40 and inner=24 does not hold; BASELINE.md
-    # 2026-08-20).  Provisional: one borderline hard-mix point (0.907 vs
-    # 0.960 s0); the hard-seed-2 pair + paired s3 control stay queued
-    # (tools/tpu_experiment_queue.sh inner_tiebreak) — revert to 0 if they
-    # reproduce a drop.  --nn_nb_inner 0 = uniform-K strict parity.
-    nn_nb_inner: int = 32
+    # linearly in this.  inner=32 is +17.3% paired throughput (27.13 vs
+    # 23.12 clouds/s at B=10/N=8192/K=48) and passes the default-mix
+    # convergence gates (type-mIoU 1.000/0.894/1.000 seeds 0/2/3 vs paired
+    # controls), but the HARD-mix drop reproduces across two seeds at
+    # exactly the band edge (type-mIoU d=-0.053 on s0 AND s2, gate_report
+    # 2026-08-20 round 3) — the provisional 32 default was REVERTED to 0
+    # per its own trigger.  `--nn_nb_inner 32` remains the documented speed
+    # knob; the 3000-step joint tuned-vs-strict A/B (queue step joint3k)
+    # decides whether the 1000-step hard-mix gap is a transient.
+    nn_nb_inner: int = 0
     mesh_shape: str = "1"             # data-parallel devices, e.g. "8"
     seed: int = 0
     # ScanNetEval min region size (scene family): 0 = auto (reference
@@ -193,6 +193,23 @@ class Config:
     # A/B matched the fp32 plateau (sem-mIoU ~0.95, AP50 0.667 from step 750
     # on both; BASELINE.md 2026-08-20).  --scene_bf16 0 = strict fp32.
     scene_bf16: bool = True
+    # Scene family: SoftGroup's staged training (softgroup.py:24,72,93).
+    # semantic_only=True builds only the backbone + semantic/offset heads
+    # (no grouping/instance branch); stage 2 resumes the stage-1 checkpoint
+    # into the full model (key-intersection load) with the stage-1 modules
+    # frozen via fixed_modules.
+    semantic_only: bool = False
+    # Comma-separated top-level scene-model param groups to freeze (zero
+    # grads + frozen batch_stats — the reference freezes requires_grad and
+    # pins BN to eval mode, softgroup.py:83-86,100-105).  The reference's
+    # stage-2 recipe: "input_conv,unet,output_layer,semantic_linear,
+    # offset_linear".
+    fixed_modules: str = ""
+    # S3DIS eval protocol (softgroup.py:380-411 forward_4_parts/
+    # merge_4_parts): run the backbone over the scene's 4 point-interleaved
+    # parts ([p::4]) as a batch of 4, re-interleave, then group over the
+    # full scene.  Test-time only.
+    x4_split: bool = False
 
     grouping: GroupingConfig = dataclasses.field(default_factory=GroupingConfig)
     instance_head: InstanceHeadConfig = dataclasses.field(default_factory=InstanceHeadConfig)
@@ -229,9 +246,11 @@ def bench_config() -> Config:
     GCA_BENCH_GROUP_VMAP (0; 1 = batched grouping/CC sweeps across items),
     GCA_BENCH_EDGE_BWD (scatter | revgather:M — edge-conv gather backward),
     GCA_BENCH_SHARED_GRAPH (0; 1 = one graph for all 3 edge convs),
-    GCA_BENCH_NN_INNER (unset = Config default 32; 0 = nn_nb-uniform;
+    GCA_BENCH_NN_INNER (unset = Config default; 0 = nn_nb-uniform;
     graph degree for edge convs 2-3),
-    GCA_BENCH_CC_PALLAS (0; 1 = Pallas tiled CC sweep, ops/cc_pallas.py).
+    GCA_BENCH_CC_PALLAS (0; 1 = Pallas tiled CC sweep, ops/cc_pallas.py),
+    GCA_BENCH_KNN (unset = Config default; 'xla' = exact lax.top_k,
+    'approx:R' = recall-R approx_max_k — the strict-parity line runs 'xla').
     bench.py additionally reads GCA_BENCH_ITERS (10, timed steps),
     GCA_BENCH_FAMILY (abc | scene) and GCA_BENCH_SCENE_GRID (64).
     """
@@ -251,6 +270,8 @@ def bench_config() -> Config:
         shared_graph=bool(int(os.environ.get("GCA_BENCH_SHARED_GRAPH", "0"))),
         **({"nn_nb_inner": int(os.environ["GCA_BENCH_NN_INNER"])}
            if "GCA_BENCH_NN_INNER" in os.environ else {}),
+        **({"knn_impl": os.environ["GCA_BENCH_KNN"]}
+           if "GCA_BENCH_KNN" in os.environ else {}),
         mesh_shape=os.environ.get("GCA_BENCH_MESH", "1"),
         grouping=GroupingConfig(
             item_batch_mode="vmap" if group_vmap else "map",
@@ -331,6 +352,9 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     p("--seed", type=int, default=c.seed)
     p("--eval_min_npoint", type=int, default=c.eval_min_npoint)
     p("--scene_bf16", type=int, default=int(c.scene_bf16))
+    p("--semantic_only", type=int, default=int(c.semantic_only))
+    p("--fixed_modules", type=str, default=c.fixed_modules)
+    p("--x4_split", type=int, default=int(c.x4_split))
     p("--max_proposals", type=int, default=c.instance_head.max_proposals,
       help="train-time proposal cap (reference parity: 200; TPU default 100)")
 

@@ -39,7 +39,8 @@ def _sppnet(cfg: Config):
 def _softgroup_scene(cfg: Config):
     from gcanet_tpu.models.softgroup_scene import SoftGroupNet
 
-    return SoftGroupNet(cfg, compute_bf16=cfg.scene_bf16)
+    return SoftGroupNet(cfg, compute_bf16=cfg.scene_bf16,
+                        semantic_only=bool(cfg.semantic_only))
 
 
 def is_scene_model(model_dict: str) -> bool:

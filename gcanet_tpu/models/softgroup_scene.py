@@ -88,6 +88,21 @@ class SoftGroupNet(fnn.Module):
     """forward_train semantics of softgroup.py:113-150 on dense scene grids.
 
     Points in [0, 1]^3; ``scene_grid`` controls the voxel resolution.
+
+    ``semantic_only`` builds only the backbone + point-wise heads
+    (softgroup.py:24,72-77,93 — the instance branch is not even constructed,
+    so a stage-1 checkpoint contains exactly the stage-2-shared params).
+
+    ``x4_split=True`` at call time reproduces the S3DIS eval protocol
+    (softgroup.py:380-411): the scene's points are split into the 4
+    interleaved subsets [p::4], the backbone runs on them as a batch of 4
+    (each part voxelised into its own grid, like the reference's per-piece
+    voxelization in s3dis.py:transform_test), the point features are
+    re-interleaved, and grouping + instance head see the full merged scene.
+    TPU-native deviation: the parts run as ONE batched forward instead of a
+    python loop of batch-1 forwards — same math, one compile.  The
+    reference's per-piece min-shift of voxel coords is a no-op here (points
+    already live in the unit cube).
     """
 
     cfg: Config
@@ -97,15 +112,13 @@ class SoftGroupNet(fnn.Module):
     # the scene cost is dense-conv FLOPs + HBM over [B, G^3, C] grids, where
     # half precision pays directly.  Off by default pending a convergence A/B.
     compute_bf16: bool = False
+    semantic_only: bool = False
 
-    @fnn.compact
-    def __call__(self, xyz, feats, train: bool = True,
-                 rng: Optional[jax.Array] = None):
-        cfg = self.cfg
+    def _backbone(self, xyz, feats, train: bool):
+        """Voxelise + U-Net + v2p gather -> per-point features [B*N, C]."""
         b, n, in_c = feats.shape
         g = self.scene_grid
         g3 = g * g * g
-        num_cls = cfg.num_primitives
 
         # scene voxelisation: point -> voxel scatter-mean (voxelize_fp mode 4)
         vox = jnp.clip((xyz * g).astype(jnp.int32), 0, g - 1)
@@ -116,20 +129,44 @@ class SoftGroupNet(fnn.Module):
         vcount = seg.segment_count(flat_vid, b * g3)
         active = (vcount > 0).reshape(b, g, g, g)
 
-        h = fnn.Dense(self.channels, use_bias=False)(vfeats)
+        h = fnn.Dense(self.channels, use_bias=False,
+                      name="input_conv")(vfeats)
         h = h.reshape(b, g, g, g, self.channels) * active[..., None]
         h = SceneUNet(self.channels,
-                      dtype=jnp.bfloat16 if self.compute_bf16 else None)(
-            h, active, train)
-        h = MaskedBatchNorm()(h, train=train, active=active)
+                      dtype=jnp.bfloat16 if self.compute_bf16 else None,
+                      name="unet")(h, active, train)
+        h = MaskedBatchNorm(name="output_layer")(h, train=train, active=active)
         h = fnn.relu(h) * active[..., None]
         vox_out = h.reshape(b * g3, self.channels)
 
         # voxel -> point (the v2p map of the reference input pipeline)
-        pfeat = vox_out[flat_vid]                                  # [B*N, C]
+        return vox_out[flat_vid]                                   # [B*N, C]
 
-        semantic_scores = MLP(num_cls, hidden_features=self.channels)(pfeat)
-        pt_offsets = MLP(3, hidden_features=self.channels)(pfeat)
+    @fnn.compact
+    def __call__(self, xyz, feats, train: bool = True,
+                 rng: Optional[jax.Array] = None, x4_split: bool = False):
+        cfg = self.cfg
+        b, n, _ = feats.shape
+        num_cls = cfg.num_primitives
+
+        if x4_split:
+            # [1, N] scene -> [4, N/4] interleaved parts (part p = pts [p::4],
+            # softgroup.py:392-399 merge_4_parts inverse); backbone as B=4,
+            # heads/grouping on the re-merged full scene.
+            assert b == 1 and n % 4 == 0, "x4_split needs one scene, 4 | N"
+            sp = lambda a: a.reshape(n // 4, 4, *a.shape[2:]).swapaxes(0, 1)
+            pfeat = self._backbone(sp(xyz), sp(feats), train)
+            pfeat = pfeat.reshape(4, n // 4, -1).swapaxes(0, 1).reshape(n, -1)
+        else:
+            pfeat = self._backbone(xyz, feats, train)
+
+        semantic_scores = MLP(num_cls, hidden_features=self.channels,
+                              name="semantic_linear")(pfeat)
+        pt_offsets = MLP(3, hidden_features=self.channels,
+                         name="offset_linear")(pfeat)
+
+        if self.semantic_only:
+            return SoftGroupOutput(semantic_scores, pt_offsets, None, None)
 
         cls_argmax = jnp.argmax(semantic_scores.reshape(b, n, num_cls), -1)
         shifted = xyz + pt_offsets.reshape(b, n, 3)
@@ -163,6 +200,7 @@ class SoftGroupNet(fnn.Module):
             num_classes=num_cls,
             channels=vx.feats.shape[-1],
             grid_size=cfg.instance_head.grid_size,
+            name="instance_head",
         )(vx.feats, vx.active, vx.entry_voxel, proposals.point_pid, train)
 
         return SoftGroupOutput(semantic_scores, pt_offsets, proposals, instance)

@@ -43,9 +43,14 @@ def _row_tile(n_pad: int) -> int:
 
 
 def _sweep_kernel(nbr_ref, lab_ref, out_ref):
-    blk = nbr_ref[...] != 0                               # [TM, Np] bool
+    # Arithmetic select instead of jnp.where: a [TM, Np] i1 mask vector
+    # trips a Mosaic relayout bug on v5e ("Invalid relayout: Non-singleton
+    # logical dimension is replicated in destination but not in source",
+    # observed 2026-08-20 at vector<256x8192xi1>); int32 0/1 arithmetic
+    # lowers cleanly and costs one extra VPU multiply per element.
+    v = nbr_ref[...].astype(jnp.int32)                    # [TM, Np] 0/1
     lab = lab_ref[...]                                    # [1, Np] int32
-    masked = jnp.where(blk, jnp.broadcast_to(lab, blk.shape), _BIG_I)
+    masked = v * lab + (1 - v) * _BIG_I
     out_ref[...] = jnp.min(masked, axis=1, keepdims=True)  # [TM, 1]
 
 

@@ -196,6 +196,13 @@ def build_proposals(
     """Full grouping pass over a batch; everything static-shape under jit."""
     b, n, _ = shifted.shape
     n_total = b * n
+    # The proposal ordering below encodes (batch, class, kept<primary, idx)
+    # into ONE int32 rank; enforce the documented bound up front (static
+    # ints, trace-time) instead of silently wrapping at exotic B*N*C.
+    # Production B=10/N=8192/C=7 peaks at ~11.6M (tests/test_grouping_rank.py).
+    assert ((b * num_classes) * 2 + 1) * n_total + n_total - 1 < 2**31, (
+        f"proposal rank overflows int32 at B={b}, N={n}, C={num_classes}; "
+        "shrink the (batch x class) grid or widen the rank dtype")
 
     mean_tbl = jnp.asarray(cfg.class_numpoint_mean, jnp.float32)[:num_classes] \
         if num_classes <= len(cfg.class_numpoint_mean) else \
@@ -245,7 +252,7 @@ def build_proposals(
     g_batch = batch_ids.reshape(-1)
     g_idx = jnp.arange(n_total, dtype=jnp.int32)
 
-    # rank fits int32: ((B*C)*2+1) * n_total + n_total < 2^31 for realistic shapes
+    # rank fits int32: bound asserted at function entry
     root_rank = ((g_batch * num_classes + g_cls) * 2
                  + g_primary.astype(jnp.int32)) * n_total + g_idx
     root_rank = jnp.where(g_is_root & g_qual, root_rank, _BIG_I)

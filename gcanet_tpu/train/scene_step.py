@@ -45,6 +45,11 @@ def compute_scene_losses(cfg: Config, out, batch: Dict[str, jnp.ndarray]
     ld["offset_loss"] = L.offset_loss(
         out.pt_offsets, inst_gt, batch["pt_offset_label"].reshape(-1, 3))
 
+    # semantic_only stage: point-wise losses only (softgroup.py:126-129 —
+    # the `if not self.semantic_only` guard around the instance branch)
+    if cfg.semantic_only:
+        return ld["semantic_loss"] + ld["offset_loss"], ld
+
     inst_total, aux = L.instance_loss(
         out.instance.cls_scores, out.instance.mask_scores,
         out.instance.iou_scores, out.proposals.point_pid,
@@ -61,12 +66,36 @@ def compute_scene_losses(cfg: Config, out, batch: Dict[str, jnp.ndarray]
     return total, ld
 
 
+def fixed_module_names(cfg: Config) -> tuple:
+    """Parsed ``--fixed_modules`` top-level param groups (strip + drop
+    empties so "a, b," round-trips)."""
+    return tuple(m.strip() for m in str(cfg.fixed_modules or "").split(",")
+                 if m.strip())
+
+
+def freeze_fixed_modules(fixed: tuple, grads, new_bs, old_bs):
+    """TPU-native analogue of the reference's fixed_modules freeze
+    (softgroup.py:83-86 requires_grad=False + :100-105 BN pinned to eval):
+    zero the frozen subtrees' grads and keep their running batch stats.
+    Operates on top-level param-tree keys (the scene model names its
+    modules after the reference: input_conv/unet/output_layer/
+    semantic_linear/offset_linear/instance_head)."""
+    if not fixed:
+        return grads, new_bs
+    grads = {k: (jax.tree.map(jnp.zeros_like, v) if k in fixed else v)
+             for k, v in grads.items()}
+    new_bs = {k: (old_bs[k] if k in fixed and k in old_bs else v)
+              for k, v in new_bs.items()}
+    return grads, new_bs
+
+
 def make_scene_train_step(cfg: Config, model, tx, mesh: Mesh | None = None,
                           donate: bool = False):
     """Returns jitted ``step(state, batch, rng) -> (state, metrics)``; the
     per-step key folds in on device from ``state.step`` (same dispatch-
     pipelining rule as the flagship step).  ``donate=True`` aliases the
     TrainState buffers in place (see train/step.py::make_train_step)."""
+    fixed = fixed_module_names(cfg)
 
     def loss_fn(params, batch_stats, batch, rng):
         out, mut = model.apply(
@@ -87,6 +116,8 @@ def make_scene_train_step(cfg: Config, model, tx, mesh: Mesh | None = None,
             batch = dict(batch, I_gt_global=jnp.where(ig >= 0, ig - base, -1))
         (total, (ld, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+        grads, new_bs = freeze_fixed_modules(fixed, grads, new_bs,
+                                             state.batch_stats)
         if mesh is not None:
             grads = jax.lax.pmean(grads, "data")
             total = jax.lax.pmean(total, "data")

@@ -50,19 +50,34 @@ class SceneTrainer(Trainer):
             cfg, self.model, self.tx, self.mesh, donate=True)
 
         model = self.model
+        # S3DIS eval protocol (softgroup.py:380-411) — static flag, one
+        # compile; train path never splits
+        x4 = bool(cfg.x4_split)
 
-        @jax.jit
-        def eval_step(params, batch_stats, xyz, feats):
-            out = model.apply({"params": params, "batch_stats": batch_stats},
-                              xyz, feats, train=False,
-                              rng=jax.random.PRNGKey(0))
-            merged, keep, conf, npoint, covered = \
-                inst_utils.merged_labels_device(
-                    out.proposals.point_pid, out.instance.cls_scores,
-                    out.instance.iou_scores, out.instance.mask_scores,
-                    out.proposals.valid, cfg.num_primitives)
-            sem_pred = jnp.argmax(out.semantic_scores, axis=-1)
-            return merged, keep, conf, npoint, covered, sem_pred
+        if bool(cfg.semantic_only):
+            # stage-1 eval: point-wise semantic/offset only (softgroup.py's
+            # `if not self.semantic_only` guards in forward_test)
+            @jax.jit
+            def eval_step(params, batch_stats, xyz, feats):
+                out = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    xyz, feats, train=False, rng=jax.random.PRNGKey(0),
+                    x4_split=x4)
+                return jnp.argmax(out.semantic_scores, axis=-1)
+        else:
+            @jax.jit
+            def eval_step(params, batch_stats, xyz, feats):
+                out = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    xyz, feats, train=False, rng=jax.random.PRNGKey(0),
+                    x4_split=x4)
+                merged, keep, conf, npoint, covered = \
+                    inst_utils.merged_labels_device(
+                        out.proposals.point_pid, out.instance.cls_scores,
+                        out.instance.iou_scores, out.instance.mask_scores,
+                        out.proposals.valid, cfg.num_primitives)
+                sem_pred = jnp.argmax(out.semantic_scores, axis=-1)
+                return merged, keep, conf, npoint, covered, sem_pred
 
         self.eval_step = eval_step
         self.start_epoch = 0
@@ -180,6 +195,7 @@ class SceneTrainer(Trainer):
         cnt = 0
         self._results_rows = []
         params, batch_stats = self._local_eval_params()
+        semantic_only = bool(cfg.semantic_only)
         for batch in self._test_batches():
             xyz = jnp.asarray(batch["xyz"])
             feats = jnp.asarray(batch["feats"])
@@ -189,7 +205,11 @@ class SceneTrainer(Trainer):
                 self.logger.error(
                     f"error: {batch.get('index', ['?'])[0]}: {e}")
                 continue
-            merged, keep, conf, npoint, covered, sem_pred = jax.device_get(dev)
+            if semantic_only:
+                sem_pred = jax.device_get(dev)
+            else:
+                merged, keep, conf, npoint, covered, sem_pred = \
+                    jax.device_get(dev)
             gt_sem = np.asarray(batch["semantic"][0])
             gt_inst = np.asarray(batch["instance"][0])
 
@@ -199,16 +219,18 @@ class SceneTrainer(Trainer):
             for k, v in pw.items():
                 sem_stats[k] = sem_stats.get(k, 0.0) + v
 
-            # ranks must come from the full keep table; background-column
-            # predictions (instance class C-1, the loss's background label)
-            # are filtered afterwards so ranks stay aligned with merged
-            preds = inst_utils.instances_from_merged(
-                merged, keep, conf, npoint, covered,
-                label_offset=self.cls_offset, encode_rle=False)
-            bg_label = (cfg.num_primitives - 1) + self.cls_offset
-            preds = [pr for pr in preds if pr["label_id"] < bg_label]
-            scenes.append({"preds": preds, "gt_inst": gt_inst,
-                           "gt_sem": gt_sem})
+            if not semantic_only:
+                # ranks must come from the full keep table; background-column
+                # predictions (instance class C-1, the loss's background
+                # label) are filtered afterwards so ranks stay aligned with
+                # merged
+                preds = inst_utils.instances_from_merged(
+                    merged, keep, conf, npoint, covered,
+                    label_offset=self.cls_offset, encode_rle=False)
+                bg_label = (cfg.num_primitives - 1) + self.cls_offset
+                preds = [pr for pr in preds if pr["label_id"] < bg_label]
+                scenes.append({"preds": preds, "gt_inst": gt_inst,
+                               "gt_sem": gt_sem})
             self._results_rows.append({
                 "ID": batch.get("index", ["?"])[0],
                 "miou": round(pw["miou"], 3), "acc": round(pw["acc"], 3),

@@ -41,6 +41,20 @@ def _run_bench(extra_env):
     return row
 
 
+def test_bench_config_strict_parity_knobs(monkeypatch):
+    """The strict-parity bench line (VERDICT r2 item 2) disengages every
+    deviation knob via env: K=80 uniform, p=200, exact kNN, fp32."""
+    from gcanet_tpu.config import bench_config
+
+    for k, v in {"GCA_BENCH_NN": "80", "GCA_BENCH_NN_INNER": "0",
+                 "GCA_BENCH_PROPOSALS": "200", "GCA_BENCH_KNN": "xla"}.items():
+        monkeypatch.setenv(k, v)
+    cfg = bench_config()
+    assert (cfg.nn_nb, cfg.nn_nb_inner, cfg.knn_impl) == (80, 0, "xla")
+    assert cfg.instance_head.max_proposals == 200
+    assert not cfg.encoder_bf16 and cfg.precision == "fp32"
+
+
 def test_bench_single_device_contract():
     row = _run_bench({"GCA_BENCH_MESH": "1"})
     assert "devices" not in row

@@ -55,10 +55,8 @@ def main():
                          "edge convs (Config.shared_graph A/B)")
     ap.add_argument("--nn-nb-inner", type=int, default=0,
                     help="graph degree for edge convs 2-3 (Config.nn_nb_inner "
-                         "A/B; 0 = nn_nb-uniform).  NB: passed EXPLICITLY, so "
-                         "the no-flag run is the uniform-K control — the "
-                         "historical control protocol — even though the "
-                         "production Config default is now 32")
+                         "A/B; 0 = nn_nb-uniform, which matches the Config "
+                         "default again since the round-3 hard-mix revert)")
     ap.add_argument("--seed", type=int, default=0,
                     help="init/data seed family for repeat runs (eval "
                          "objects stay fixed so runs share the held-out set)")

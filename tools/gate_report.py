@@ -130,7 +130,16 @@ def main():
             print(f"{cand} vs {ctrl}: missing data")
             verdicts.append(False)
             continue
-        step = min(max(runs[cand][1]), max(runs[ctrl][1]))
+        # Compare at the last step BOTH runs evaluated: eval cadences can
+        # differ (abc 250-step grid vs scene runs, truncated tails), so
+        # min(max, max) may be missing from one dict — fail closed on an
+        # empty intersection instead of KeyError-ing.
+        common = set(runs[cand][1]) & set(runs[ctrl][1])
+        if not common:
+            print(f"{cand} vs {ctrl}: no common eval step")
+            verdicts.append(False)
+            continue
+        step = max(common)
         crow = runs[cand][1][step]
         krow = runs[ctrl][1][step]
         deltas, ok = [], True

@@ -20,9 +20,13 @@ cd "$(dirname "$0")/.."
 LOG=/tmp/tpu_queue_results.log
 steps="${*:-bench inner scene_conv serve group_vmap micro}"
 
-waittpu() {
+waittpu() {  # returns 1 if the deadline passes while waiting
   until GCA_TPU_PROBE_TIMEOUT=120 timeout 180 python tools/tpu_health.py \
       >> "$LOG" 2>&1; do
+    if [[ -n "${GCA_QUEUE_DEADLINE:-}" ]] \
+        && (( GCA_QUEUE_DEADLINE - $(date +%s) < 120 )); then
+      return 1
+    fi
     echo "$(date -u +%H:%M) tpu not ready, retrying in 300s" | tee -a "$LOG"
     sleep 300
   done
@@ -35,6 +39,15 @@ run() {  # run <name> <cmd...>
   # queued run still holding the device would block it.  Past-deadline
   # steps are skipped; an in-flight step is killed when it crosses the
   # deadline (its partial JSONL still feeds tools/gate_report.py).
+  # Order matters: waittpu FIRST (its 5-min retry loop is unbounded on a
+  # wedged relay), then the deadline check + limit from the post-wait
+  # clock — otherwise a step can start after the deadline and hold the
+  # chip through the driver's bench.
+  if ! waittpu; then
+    echo "=== $name SKIPPED (deadline reached while waiting for tpu) ===" \
+      | tee -a "$LOG"
+    return
+  fi
   local limit=3600
   if [[ -n "${GCA_QUEUE_DEADLINE:-}" ]]; then
     limit=$(( GCA_QUEUE_DEADLINE - $(date +%s) ))
@@ -43,7 +56,6 @@ run() {  # run <name> <cmd...>
       return
     fi
   fi
-  waittpu
   echo "=== $name: $* ===" | tee -a "$LOG"
   timeout "$limit" "$@" 2>&1 | grep -v cpu_aot_loader | tail -30 | tee -a "$LOG"
   echo "--- $name exit=$? ---" | tee -a "$LOG"
@@ -111,6 +123,43 @@ for s in $steps; do case $s in
       knn,encoder,model_fwd,graph,cc,grouping,voxelize,head,losses,step
     run i${ik}_gvmap env GCA_BENCH_NN_INNER=$ik GCA_BENCH_GROUP_VMAP=1 \
       python bench.py ;;
+  strict_bench)
+    # VERDICT r2 item 2: the strict-parity throughput line — every escape
+    # hatch disengaged (K=80 uniform, p=200, exact lax.top_k kNN, fp32) —
+    # paired with the tuned headline on the same host/hour so the 5.48x
+    # claim decomposes into TPU-native vs algorithmic-deviation factors.
+    run strict_parity env GCA_BENCH_NN=80 GCA_BENCH_NN_INNER=0 \
+      GCA_BENCH_PROPOSALS=200 GCA_BENCH_KNN=xla python bench.py
+    run tuned_headline python bench.py ;;
+  joint3k)
+    # VERDICT r2 item 3: joint long-horizon deviation A/B — the FULL tuned
+    # stack (K=48, inner=32, p=100, approx-kNN 0.8) vs the FULL strict-parity
+    # stack (K=80, inner=0, p=200, exact kNN) at 3000 steps, both mixes.
+    # Per-knob 1000-step gates cannot see compounding deviations; this can.
+    run j3k_tuned_def python tools/convergence_run.py --steps 3000 \
+      --nn-nb-inner 32 --max-proposals 100 --out /tmp/conv_j3k_tuned_def.jsonl
+    run j3k_strict_def python tools/convergence_run.py --steps 3000 \
+      --nn-nb 80 --recall exact --max-proposals 200 \
+      --out /tmp/conv_j3k_strict_def.jsonl
+    run j3k_tuned_hard python tools/convergence_run.py --steps 3000 --hard \
+      --nn-nb-inner 32 --max-proposals 100 --out /tmp/conv_j3k_tuned_hard.jsonl
+    run j3k_strict_hard python tools/convergence_run.py --steps 3000 --hard \
+      --nn-nb 80 --recall exact --max-proposals 200 \
+      --out /tmp/conv_j3k_strict_hard.jsonl ;;
+  joint3k_s1)
+    # seed-1 repeats of joint3k (run if TPU time remains)
+    run j3k_tuned_def_s1 python tools/convergence_run.py --steps 3000 \
+      --seed 1 --nn-nb-inner 32 --max-proposals 100 \
+      --out /tmp/conv_j3k_tuned_def_s1.jsonl
+    run j3k_strict_def_s1 python tools/convergence_run.py --steps 3000 \
+      --seed 1 --nn-nb 80 --recall exact --max-proposals 200 \
+      --out /tmp/conv_j3k_strict_def_s1.jsonl
+    run j3k_tuned_hard_s1 python tools/convergence_run.py --steps 3000 \
+      --hard --seed 1 --nn-nb-inner 32 --max-proposals 100 \
+      --out /tmp/conv_j3k_tuned_hard_s1.jsonl
+    run j3k_strict_hard_s1 python tools/convergence_run.py --steps 3000 \
+      --hard --seed 1 --nn-nb 80 --recall exact --max-proposals 200 \
+      --out /tmp/conv_j3k_strict_hard_s1.jsonl ;;
   cc_pallas)
     # Pallas tiled CC sweep vs the XLA select+min sweep (ops/cc_pallas.py).
     # Stage-level A/B first (CC in isolation), then end-to-end.
