@@ -36,9 +36,13 @@ class GroupingConfig:
     high_frac: float = 0.3            # primary threshold (hierarchical_aggregation.cpp:61)
     set_aggr_r_coeff: float = 0.01    # r_set = coeff * sqrt(primary_npoint) (hierarchical_aggregation.cu:51)
     cc_max_iters: int = 64            # label-propagation budget for connected components
-    # CC sweep implementation: "xla" (select+min reduce) or "pallas" (tiled
-    # VMEM kernel, ops/cc_pallas.py).  A/B via GCA_BENCH_CC_PALLAS=1.
-    cc_impl: str = "xla"
+    # CC sweep implementation: "auto" (pallas on TPU, xla elsewhere),
+    # "xla" (select+min reduce) or "pallas" (tiled VMEM kernel,
+    # ops/cc_pallas.py).  ADOPTED as the TPU default 2026-08-20 round 3:
+    # paired end-to-end A/B 23.503 vs 23.201 clouds/s (+1.3%), stage
+    # isolation 52.96 vs 62.70 ms; numerically identical sweep (oracle
+    # tests), so no convergence gate needed.  A/B via GCA_BENCH_CC_PALLAS.
+    cc_impl: str = "auto"
     # "map" (default): sequential lax.map over batch items — one N x N working
     # set at a time, every CC while-loop exits as soon as ITS item converges.
     # "vmap": batch the graphs/CC sweeps across items — B x N x N working set,
@@ -248,7 +252,7 @@ def bench_config() -> Config:
     GCA_BENCH_SHARED_GRAPH (0; 1 = one graph for all 3 edge convs),
     GCA_BENCH_NN_INNER (unset = Config default; 0 = nn_nb-uniform;
     graph degree for edge convs 2-3),
-    GCA_BENCH_CC_PALLAS (0; 1 = Pallas tiled CC sweep, ops/cc_pallas.py),
+    GCA_BENCH_CC_PALLAS (unset = auto: pallas on TPU; 1 = pallas, 0 = xla),
     GCA_BENCH_KNN (unset = Config default; 'xla' = exact lax.top_k,
     'approx:R' = recall-R approx_max_k — the strict-parity line runs 'xla').
     bench.py additionally reads GCA_BENCH_ITERS (10, timed steps),
@@ -259,8 +263,8 @@ def bench_config() -> Config:
     props = int(os.environ.get("GCA_BENCH_PROPOSALS", "0"))
     nn_nb = int(os.environ.get("GCA_BENCH_NN", "0"))
     group_vmap = bool(int(os.environ.get("GCA_BENCH_GROUP_VMAP", "0")))
-    cc_impl = ("pallas" if int(os.environ.get("GCA_BENCH_CC_PALLAS", "0"))
-               else "xla")
+    cc_impl = {"1": "pallas", "0": "xla"}.get(
+        os.environ.get("GCA_BENCH_CC_PALLAS", ""), "auto")
     return Config(
         num_points=int(os.environ.get("GCA_BENCH_POINTS", "8192")),
         batch_size=int(os.environ.get("GCA_BENCH_BATCH", "10")),

@@ -77,6 +77,10 @@ def freeze_fixed_modules(fixed: tuple, grads, new_bs, old_bs):
     """TPU-native analogue of the reference's fixed_modules freeze
     (softgroup.py:83-86 requires_grad=False + :100-105 BN pinned to eval):
     zero the frozen subtrees' grads and keep their running batch stats.
+    Zeroed grads alone are exact for adam (m=v=0 stays 0) but not for
+    decoupled weight decay (torch skips grad=None params entirely, so the
+    reference's frozen modules never decay) — the train step additionally
+    restores frozen param subtrees after ``apply_updates``.
     Operates on top-level param-tree keys (the scene model names its
     modules after the reference: input_conv/unet/output_layer/
     semantic_linear/offset_linear/instance_head)."""
@@ -125,6 +129,9 @@ def make_scene_train_step(cfg: Config, model, tx, mesh: Mesh | None = None,
             new_bs = jax.lax.pmean(new_bs, "data")
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if fixed:  # exact freeze under any optimizer (e.g. adamw decay)
+            params = {k: (state.params[k] if k in fixed else v)
+                      for k, v in params.items()}
         metrics = dict(ld, total_loss=total)
         return TrainState(params, new_bs, opt_state, state.step + 1), metrics
 
