@@ -545,3 +545,136 @@ def make_synthetic_state_dict(num_primitives: int = 7, out_dim: int = 64,
     conv1x1("mlp_squeeze_output_feature", 99 if num_primitives == 7 else 102, 64)
     norm("bn_normal_squeeze_output_feature", 64)
     return {f"affinitynet.{k}": v for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# flax -> torch export (the reverse map: train on TPU, eval/serve with the
+# reference stack)
+# ---------------------------------------------------------------------------
+
+def _from_conv3d_kernel(w: np.ndarray,
+                        target_shape: Tuple[int, ...]) -> np.ndarray:
+    """flax Conv kernel [kD,kH,kW,in,out] -> the reference's storage layout.
+
+    Inverse of :func:`_to_conv3d_kernel`: both sides scan the SAME candidate
+    permutations in the same order and pick the first whose shapes line up,
+    so a round trip is exact even when several layouts share a shape."""
+    w = np.asarray(w)
+    candidates = [
+        (0, 1, 2, 3, 4),   # spconv 1.x: [k,k,k,in,out]
+        (1, 2, 3, 4, 0),   # spconv 2.x: [out,k,k,k,in]
+        (2, 3, 4, 1, 0),   # torch dense Conv3d: [out,in,k,k,k]
+    ]
+    for perm in candidates:
+        if tuple(target_shape[i] for i in perm) == w.shape:
+            return np.transpose(w, np.argsort(perm))
+    raise ValueError(f"cannot map conv kernel {w.shape} -> {target_shape}")
+
+
+@dataclasses.dataclass
+class ExportReport:
+    mapped: List[str]           # torch keys filled from flax params
+    defaulted: List[str]        # template keys left at a neutral default
+    missing: List[str]          # rule targets absent from the flax tree
+
+
+def export_state_dict(params, batch_stats, num_primitives: int = 7,
+                      out_dim: int = 64, mode: int = 5,
+                      model: str = "flagship"):
+    """Map (params, batch_stats) onto a reference ``model_state_dict``.
+
+    The exact inverse of :func:`convert_state_dict` for the mode-5 flagship
+    (models/dgcnn-hais-concat-direct-4.py:1395): every tensor the importer
+    maps is written back through the inverse layout transform, at exactly
+    the storage shapes of a real ``checkpoint_eval{N}.tar``
+    (trainer_new.py:420-445) as documented by
+    :func:`make_synthetic_state_dict`.  Keys the importer skips as dead or
+    counters (mlp_squeeze_output_feature, num_batches_tracked, ...) are
+    emitted at neutral defaults (zeros / zero counters) so the reference's
+    key-intersection ``load_checkpoint`` (trainer_new.py:129-135) accepts
+    the file without complaint.
+
+    Returns ``(state_dict, report)`` with the flagship's ``affinitynet.``
+    key prefix in place.
+    """
+    import jax
+
+    assert model == "flagship" and mode == 5, (
+        "export implements the mode-5 flagship map (the only family the "
+        "reference's trainer checkpoints end-to-end)")
+    template = make_synthetic_state_dict(num_primitives, out_dim)
+    rules = build_rules(mode, model)
+
+    def flat_paths(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return {tuple(p.key for p in path): np.asarray(leaf)
+                for path, leaf in flat}
+
+    p_flat = flat_paths(params)
+    bs_flat = flat_paths(batch_stats)
+
+    # neutral defaults for everything (dead weights, counters); rules
+    # overwrite the live tensors below
+    sd: Dict[str, np.ndarray] = {}
+    for k, v in template.items():
+        if k.endswith("num_batches_tracked"):
+            sd[k] = np.asarray(0, dtype=np.int64)
+        elif k.endswith("running_var"):
+            sd[k] = np.ones_like(v)
+        else:
+            sd[k] = np.zeros_like(v)
+
+    mapped: List[str] = []
+    missing: List[str] = []
+    for rule in rules:
+        if rule.kind == NORM:
+            pairs = [("weight", "scale"), ("bias", "bias")]
+        elif rule.kind == BN_STATS:
+            pairs = [("running_mean", "mean"), ("running_var", "var")]
+        elif rule.kind in (LINEAR, CONV1X1):
+            pairs = [("weight", "kernel")] + ([("bias", "bias")]
+                                              if rule.has_bias else [])
+        else:  # CONV3D / SUBM1X1
+            pairs = [("weight", "kernel")]
+        for tname, fname in pairs:
+            tkey = f"affinitynet.{rule.torch_prefix}.{tname}"
+            if tkey not in sd:
+                continue                    # not a checkpointed tensor
+            fpath = rule.flax_path + (fname,)
+            src = bs_flat if rule.kind == BN_STATS else p_flat
+            if fpath not in src:
+                missing.append("/".join(fpath))
+                continue
+            w = src[fpath]
+            tshape = sd[tkey].shape
+            if rule.kind in (LINEAR, CONV1X1) and fname == "kernel":
+                w = w.T.reshape(tshape)
+            elif rule.kind == CONV3D:
+                w = _from_conv3d_kernel(w, tshape)
+            elif rule.kind == SUBM1X1:
+                w = w.T.reshape(tshape)
+            w = np.asarray(w, dtype=np.float32)
+            if w.shape != tshape:
+                raise ValueError(f"{'/'.join(fpath)} -> {tkey}: shape "
+                                 f"{w.shape} != expected {tshape}")
+            sd[tkey] = w
+            mapped.append(tkey)
+
+    mapped_set = set(mapped)
+    defaulted = sorted(k for k in sd if k not in mapped_set)
+    return sd, ExportReport(sorted(mapped), defaulted, sorted(missing))
+
+
+def save_reference_checkpoint(path: str, params, batch_stats, epoch: int = 0,
+                              **export_kw) -> "ExportReport":
+    """Write a ``checkpoint_eval{N}.tar``-format file the reference's
+    ``load_checkpoint`` (trainer_new.py:120-142) restores directly:
+    ``torch.save({epoch, model_state_dict, optimizer_state_dict})``."""
+    import torch
+
+    sd, report = export_state_dict(params, batch_stats, **export_kw)
+    torch.save({"epoch": int(epoch),
+                "model_state_dict": {k: torch.from_numpy(np.array(v, copy=True))
+                                     for k, v in sd.items()},
+                "optimizer_state_dict": {}}, path)
+    return report
