@@ -1,0 +1,308 @@
+"""HTTP serving front-end for the TPU predictors (production deployment).
+
+The reference ships no serving surface at all — its inference path is the
+eval loop inside the trainer (trainer_new.py:396, train_new.py:161-165).
+This module is the deployment story the reference lacks: a dependency-free
+(stdlib ``http.server``) endpoint over :class:`gcanet_tpu.serve.Predictor`
+(ABC/flagship family) or :class:`~gcanet_tpu.serve.ScenePredictor`
+(SoftGroup scene family), with cross-request **dynamic micro-batching** so
+concurrent single-cloud clients ride the batched fast path (BASELINE.md:
+batch-10 forward is ~6x the batch-1 predict throughput on the tunnelled
+link; batching is how serving reaches it).
+
+Endpoints
+---------
+- ``GET  /healthz``            -> ``{"status": "ok", family, num_points, batch_size}``
+- ``POST /v1/predict``         -> one cloud.  Body either JSON
+  ``{"xyz": [[x,y,z]...], "normals": [[...]...]}`` (scene family:
+  ``"feats"`` instead of ``"normals"``) or an ``.npz`` payload
+  (``Content-Type: application/x-npz``) with the same array names.
+  ``xyz`` must be ``[num_points, 3]`` — clients subsample/pad exactly like
+  the dataset does (ABCDataset_new.py:120 subsamples to a fixed N too).
+- ``POST /v1/predict_batch``   -> ``.npz`` with ``xyz [B, N, 3]`` (+
+  ``normals``/``feats``); returns a JSON list of per-cloud results.
+  ``B`` must equal the server's compiled ``batch_size``.
+
+Responses are compact JSON: the instance list (``label_id``/``conf``/
+``npoint`` + reference-bit-compatible RLE ``pred_mask``,
+softgroup/util/rle.py format), per-point ``instance_labels`` and argmax
+``types``.  Pass ``Accept: application/x-npz`` to get the full per-point
+tensors (type/param/offset arrays) as an ``.npz`` body instead.
+
+Design notes (TPU serving):
+- One XLA program: the batcher always pads a collected micro-batch to the
+  compiled ``batch_size`` (repeating the last cloud), so every dispatch
+  hits the same compiled executable — no shape-driven recompiles, ever.
+- One dispatch thread: requests queue into the batcher and a single loop
+  owns the device, so HTTP concurrency (ThreadingHTTPServer) never races
+  jax dispatch and the device pipeline stays ordered.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from gcanet_tpu.config import Config
+
+
+class DynamicBatcher:
+    """Collect concurrent single-item requests into fixed-shape batches.
+
+    ``submit()`` blocks the calling (HTTP handler) thread until its result
+    is ready.  The loop gathers up to ``batch_size`` requests, waiting at
+    most ``max_wait_ms`` after the first arrival (latency bound), pads the
+    batch to the compiled size and runs one ``predict_batch`` dispatch.
+    """
+
+    def __init__(self, predict_batch_fn, batch_size: int,
+                 max_wait_ms: float = 15.0):
+        self._fn = predict_batch_fn
+        self._batch = int(batch_size)
+        self._wait_s = float(max_wait_ms) / 1000.0
+        self._q: queue.SimpleQueue = queue.SimpleQueue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, xyz: np.ndarray, aux: np.ndarray) -> Dict:
+        slot: Dict = {}
+        done = threading.Event()
+        self._q.put((xyz, aux, slot, done))
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    def _loop(self):
+        while True:
+            items = [self._q.get()]
+            deadline = time.monotonic() + self._wait_s
+            while len(items) < self._batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    items.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            xyz = np.stack([it[0] for it in items])
+            aux = np.stack([it[1] for it in items])
+            if len(items) < self._batch:          # pad to the compiled shape
+                reps = self._batch - len(items)
+                xyz = np.concatenate([xyz, np.repeat(xyz[-1:], reps, 0)])
+                aux = np.concatenate([aux, np.repeat(aux[-1:], reps, 0)])
+            try:
+                results = self._fn(xyz, aux)
+            except Exception as e:                # surface to every waiter
+                for _, _, slot, done in items:
+                    slot["error"] = e
+                    done.set()
+                continue
+            for (_, _, slot, done), res in zip(items, results):
+                slot["result"] = res
+                done.set()
+
+
+class PredictionServer:
+    """Bind a predictor + batcher to an HTTP port (see module docstring)."""
+
+    def __init__(self, cfg: Config, checkpoint_dir: Optional[str] = None,
+                 family: str = "abc", max_wait_ms: float = 15.0):
+        if family == "scene":
+            from gcanet_tpu.serve import ScenePredictor
+
+            self.predictor = ScenePredictor(cfg, checkpoint_dir)
+            self.aux_key = "feats"
+        else:
+            assert family == "abc", f"unknown family {family!r}"
+            from gcanet_tpu.serve import Predictor
+
+            self.predictor = Predictor(cfg, checkpoint_dir)
+            self.aux_key = "normals"
+        self.cfg = cfg
+        self.family = family
+        self.batcher = DynamicBatcher(self.predictor.predict_batch,
+                                      cfg.batch_size, max_wait_ms)
+        # predict_batch direct calls share the batcher's device ordering by
+        # funnelling through the same lock
+        self._direct_lock = threading.Lock()
+
+    # -- payload codecs ----------------------------------------------------
+
+    def _decode(self, body: bytes, content_type: str):
+        if "npz" in (content_type or ""):
+            with np.load(io.BytesIO(body)) as z:
+                data = {k: z[k] for k in z.files}
+        else:
+            data = {k: np.asarray(v, np.float32)
+                    for k, v in json.loads(body.decode()).items()}
+        xyz = data.get("xyz")
+        aux = data.get(self.aux_key)
+        if aux is None:     # accept either aux name for convenience
+            aux = data.get("feats" if self.aux_key == "normals" else "normals")
+        if xyz is None or aux is None:
+            raise ValueError(f"payload needs 'xyz' and '{self.aux_key}'")
+        return np.asarray(xyz, np.float32), np.asarray(aux, np.float32)
+
+    @staticmethod
+    def _result_json(res: Dict) -> Dict:
+        if "type_per_point" in res:                 # abc: [N, C] logits
+            types = np.asarray(res["type_per_point"]).argmax(-1)
+        else:                                       # scene: [N] argmax ints
+            types = np.asarray(res["semantic_preds"])
+        return {
+            "types": types.astype(int).tolist(),
+            "instance_labels":
+                np.asarray(res["instance_labels"]).astype(int).tolist(),
+            "instances": [
+                {"label_id": int(i["label_id"]), "conf": float(i["conf"]),
+                 "npoint": int(i["npoint"]), "pred_mask": i["pred_mask"]}
+                for i in res["instances"]],
+        }
+
+    @staticmethod
+    def _result_npz(res: Dict) -> bytes:
+        buf = io.BytesIO()
+        arrays = {k: np.asarray(v) for k, v in res.items()
+                  if k in ("type_per_point", "semantic_preds",
+                           "param_per_point", "pt_offsets",
+                           "instance_labels") and v is not None}
+        arrays["instances_json"] = np.frombuffer(json.dumps(
+            PredictionServer._result_json(res)["instances"]).encode(),
+            dtype=np.uint8)
+        np.savez(buf, **arrays)
+        return buf.getvalue()
+
+    # -- request handling --------------------------------------------------
+
+    def handle(self, path: str, body: bytes, content_type: str,
+               accept: str) -> tuple:
+        """Route one POST; returns (status, content_type, payload_bytes)."""
+        if path not in ("/v1/predict", "/v1/predict_batch"):
+            return 404, "application/json", json.dumps(
+                {"error": f"no route {path}"}).encode()
+        try:
+            xyz, aux = self._decode(body, content_type)
+        except Exception as e:
+            return 400, "application/json", json.dumps(
+                {"error": str(e)}).encode()
+        n = self.cfg.num_points
+        if path == "/v1/predict":
+            if xyz.shape != (n, 3):
+                return 400, "application/json", json.dumps(
+                    {"error": f"xyz must be [{n}, 3]; got "
+                              f"{list(xyz.shape)}"}).encode()
+            try:
+                res = self.batcher.submit(xyz, aux)
+            except Exception as e:
+                return 500, "application/json", json.dumps(
+                    {"error": str(e)}).encode()
+            if "npz" in (accept or ""):
+                return 200, "application/x-npz", self._result_npz(res)
+            return 200, "application/json", json.dumps(
+                self._result_json(res)).encode()
+        # path == "/v1/predict_batch"
+        if xyz.ndim != 3 or xyz.shape[0] != self.cfg.batch_size \
+                or xyz.shape[1:] != (n, 3):
+            return 400, "application/json", json.dumps(
+                {"error": f"xyz must be [{self.cfg.batch_size}, {n}, 3];"
+                          f" got {list(xyz.shape)}"}).encode()
+        try:
+            with self._direct_lock:
+                results = self.predictor.predict_batch(xyz, aux)
+        except Exception as e:
+            return 500, "application/json", json.dumps(
+                {"error": str(e)}).encode()
+        return 200, "application/json", json.dumps(
+            [self._result_json(r) for r in results]).encode()
+
+    def health(self) -> Dict:
+        return {"status": "ok", "family": self.family,
+                "num_points": self.cfg.num_points,
+                "batch_size": self.cfg.batch_size}
+
+    # -- server loop -------------------------------------------------------
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8000,
+              ready_event: Optional[threading.Event] = None,
+              poll_shutdown=None):
+        """Blocking serve loop (ThreadingHTTPServer under the hood)."""
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        ctx = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):            # quiet access log
+                pass
+
+            def _send(self, status, ctype, payload):
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, "application/json",
+                               json.dumps(ctx.health()).encode())
+                else:
+                    self._send(404, "application/json", b'{"error": "404"}')
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                status, ctype, payload = ctx.handle(
+                    self.path, body, self.headers.get("Content-Type", ""),
+                    self.headers.get("Accept", ""))
+                self._send(status, ctype, payload)
+
+        httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd = httpd
+        if ready_event is not None:
+            ready_event.set()
+        try:
+            httpd.serve_forever(poll_interval=0.2)
+        finally:
+            httpd.server_close()
+
+    def shutdown(self):
+        if getattr(self, "_httpd", None) is not None:
+            self._httpd.shutdown()
+
+
+def main(argv: Optional[List[str]] = None):
+    from gcanet_tpu.runtime_setup import enable_compilation_cache
+
+    enable_compilation_cache()              # honours GCA_PLATFORM
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--checkpoint_dir", default=None,
+                    help="orbax checkpoint dir (log_dir/checkpoint/latest); "
+                         "random init if omitted (smoke mode)")
+    ap.add_argument("--family", choices=["abc", "scene"], default="abc")
+    ap.add_argument("--num_points", type=int, default=8192)
+    ap.add_argument("--batch_size", type=int, default=10,
+                    help="compiled serving batch = dynamic-batch ceiling")
+    ap.add_argument("--max_wait_ms", type=float, default=15.0,
+                    help="micro-batch collection window after first request")
+    args = ap.parse_args(argv)
+
+    cfg = Config(num_points=args.num_points, batch_size=args.batch_size)
+    srv = PredictionServer(cfg, args.checkpoint_dir, family=args.family,
+                           max_wait_ms=args.max_wait_ms)
+    print(f"serving {args.family} family on {args.host}:{args.port} "
+          f"(N={args.num_points}, batch={args.batch_size})")
+    srv.serve(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
