@@ -114,17 +114,19 @@ class PredictionServer:
     """Bind a predictor + batcher to an HTTP port (see module docstring)."""
 
     def __init__(self, cfg: Config, checkpoint_dir: Optional[str] = None,
-                 family: str = "abc", max_wait_ms: float = 15.0):
+                 family: str = "abc", max_wait_ms: float = 15.0,
+                 **predictor_kw):
         if family == "scene":
             from gcanet_tpu.serve import ScenePredictor
 
-            self.predictor = ScenePredictor(cfg, checkpoint_dir)
+            self.predictor = ScenePredictor(cfg, checkpoint_dir,
+                                            **predictor_kw)
             self.aux_key = "feats"
         else:
             assert family == "abc", f"unknown family {family!r}"
             from gcanet_tpu.serve import Predictor
 
-            self.predictor = Predictor(cfg, checkpoint_dir)
+            self.predictor = Predictor(cfg, checkpoint_dir, **predictor_kw)
             self.aux_key = "normals"
         self.cfg = cfg
         self.family = family
