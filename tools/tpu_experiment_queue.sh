@@ -48,13 +48,19 @@ run() {  # run <name> <cmd...>
       | tee -a "$LOG"
     return
   fi
-  local limit=3600
+  # per-step wall limit: GCA_STEP_LIMIT (default 1h; joint3k strict runs
+  # need ~50-70 min -> set 5400 for that queue), always clipped by the
+  # deadline — a wedged mid-run step must not hold the chip for the whole
+  # remaining round (a killed convergence run's partial JSONL still feeds
+  # gate_report).
+  local limit="${GCA_STEP_LIMIT:-3600}"
   if [[ -n "${GCA_QUEUE_DEADLINE:-}" ]]; then
-    limit=$(( GCA_QUEUE_DEADLINE - $(date +%s) ))
-    if (( limit < 120 )); then
+    local left=$(( GCA_QUEUE_DEADLINE - $(date +%s) ))
+    if (( left < 120 )); then
       echo "=== $name SKIPPED (deadline reached) ===" | tee -a "$LOG"
       return
     fi
+    (( left < limit )) && limit=$left
   fi
   echo "=== $name: $* ===" | tee -a "$LOG"
   timeout "$limit" "$@" 2>&1 | grep -v cpu_aot_loader | tail -30 | tee -a "$LOG"
