@@ -175,16 +175,18 @@ class Config:
     # Neighbour lists are nearest-first, so under shared_graph this slices the
     # layer-1 graph; with per-layer graphs it lowers the inner kNN's k.  The
     # inner layers' gathers/scatters are the step's cost floor and scale
-    # linearly in this.  inner=32 is +17.3% paired throughput (27.13 vs
-    # 23.12 clouds/s at B=10/N=8192/K=48) and passes the default-mix
-    # convergence gates (type-mIoU 1.000/0.894/1.000 seeds 0/2/3 vs paired
-    # controls), but the HARD-mix drop reproduces across two seeds at
-    # exactly the band edge (type-mIoU d=-0.053 on s0 AND s2, gate_report
-    # 2026-08-20 round 3) — the provisional 32 default was REVERTED to 0
-    # per its own trigger.  `--nn_nb_inner 32` remains the documented speed
-    # knob; the 3000-step joint tuned-vs-strict A/B (queue step joint3k)
-    # decides whether the 1000-step hard-mix gap is a transient.
-    nn_nb_inner: int = 0
+    # linearly in this.  Default 32: +17.3% paired throughput (27.13 vs
+    # 23.12 clouds/s at B=10/N=8192/K=48).  History: the 1000-step hard-mix
+    # gates showed a reproducible type-mIoU d=-0.053 (2 seeds) and the
+    # provisional default was reverted; the 3000-step JOINT tuned-vs-strict
+    # A/B (BASELINE.md round-3 session 2) then showed that gap is a
+    # transient — at plateau the full tuned stack matches the full strict
+    # stack within noise on the hard mix (0.923/0.988 vs 0.935/0.986 at the
+    # last common step 2250) and reaches type-mIoU 1.000 on BOTH mixes by
+    # step 2500, so 32 was RE-ADOPTED on long-horizon evidence per the
+    # criterion documented at the revert.  --nn_nb_inner 0 = uniform-K
+    # strict parity (dgcnn-4.py:545 semantics).
+    nn_nb_inner: int = 32
     mesh_shape: str = "1"             # data-parallel devices, e.g. "8"
     seed: int = 0
     # ScanNetEval min region size (scene family): 0 = auto (reference
