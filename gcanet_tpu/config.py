@@ -254,7 +254,8 @@ def bench_config() -> Config:
     GCA_BENCH_SHARED_GRAPH (0; 1 = one graph for all 3 edge convs),
     GCA_BENCH_NN_INNER (unset = Config default; 0 = nn_nb-uniform;
     graph degree for edge convs 2-3),
-    GCA_BENCH_CC_PALLAS (unset = auto: pallas on TPU; 1 = pallas, 0 = xla),
+    GCA_BENCH_CC_PALLAS (unset = auto: pallas on TPU; 1 = pallas int8,
+    2 = pallas32 bit-packed, 0 = xla),
     GCA_BENCH_KNN (unset = Config default; 'xla' = exact lax.top_k,
     'approx:R' = recall-R approx_max_k — the strict-parity line runs 'xla').
     bench.py additionally reads GCA_BENCH_ITERS (10, timed steps),
@@ -265,7 +266,7 @@ def bench_config() -> Config:
     props = int(os.environ.get("GCA_BENCH_PROPOSALS", "0"))
     nn_nb = int(os.environ.get("GCA_BENCH_NN", "0"))
     group_vmap = bool(int(os.environ.get("GCA_BENCH_GROUP_VMAP", "0")))
-    cc_impl = {"1": "pallas", "0": "xla"}.get(
+    cc_impl = {"1": "pallas", "0": "xla", "2": "pallas32"}.get(
         os.environ.get("GCA_BENCH_CC_PALLAS", ""), "auto")
     return Config(
         num_points=int(os.environ.get("GCA_BENCH_POINTS", "8192")),

@@ -140,8 +140,9 @@ def connected_components(nbr: jnp.ndarray, max_iters: int = 64,
     Replaces the host BFS at hierarchical_aggregation.cpp:11-42.
 
     impl: "auto" (pallas on TPU — adopted round 3, +1.3% end-to-end paired;
-    xla elsewhere), "xla" (select+min reduce per sweep) or "pallas" (tiled
-    VMEM sweep, ops/cc_pallas.py — interpreter-lowered off-TPU).
+    xla elsewhere), "xla" (select+min reduce per sweep), "pallas" (tiled
+    int8 VMEM sweep) or "pallas32" (bit-packed sweep, 1/8 the HBM traffic;
+    ops/cc_pallas.py — both interpreter-lowered off-TPU).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -149,6 +150,10 @@ def connected_components(nbr: jnp.ndarray, max_iters: int = 64,
         from gcanet_tpu.ops import cc_pallas
 
         return cc_pallas.connected_components_pallas(nbr, max_iters)
+    if impl == "pallas32":
+        from gcanet_tpu.ops import cc_pallas
+
+        return cc_pallas.connected_components_pallas32(nbr, max_iters)
     n = nbr.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
 
