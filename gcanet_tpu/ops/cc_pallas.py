@@ -36,10 +36,25 @@ _BLOCK_BYTES = 2 * 1024 * 1024
 _PAD = 256
 
 
+def _divisor_tile(n_pad: int, budget: int, step: int) -> int:
+    """Largest multiple of ``step`` <= budget that DIVIDES n_pad.
+
+    grid=(n_pad // tm,) silently drops the tail row-tile when tm does not
+    divide n_pad (ADVICE r3: at N=600, n_pad=768, tm=512 the last 256 rows
+    were never written).  n_pad is always a multiple of _PAD=256, so a
+    divisor that is a multiple of ``step`` (32 for int8 sublanes, 8 for
+    int32) always exists down at ``step`` itself.
+    """
+    budget = max(step, min(budget, n_pad))
+    budget -= budget % step
+    for tm in range(budget, step - 1, -step):
+        if n_pad % tm == 0:
+            return tm
+    return step
+
+
 def _row_tile(n_pad: int) -> int:
-    tm = max(32, min(512, _BLOCK_BYTES // n_pad))
-    tm -= tm % 32
-    return min(tm, n_pad)
+    return _divisor_tile(n_pad, min(512, _BLOCK_BYTES // n_pad), 32)
 
 
 def _sweep_kernel(nbr_ref, lab_ref, out_ref):
@@ -131,9 +146,7 @@ def connected_components_pallas(nbr: jnp.ndarray,
 
 
 def _row_tile_packed(n_pad: int, w: int) -> int:
-    tm = max(8, min(512, _BLOCK_BYTES // (4 * w)))
-    tm -= tm % 8
-    return min(tm, n_pad)
+    return _divisor_tile(n_pad, min(512, _BLOCK_BYTES // (4 * w)), 8)
 
 
 def _sweep_kernel_packed(words_ref, lab_ref, out_ref):

@@ -63,10 +63,17 @@ class DynamicBatcher:
     """
 
     def __init__(self, predict_batch_fn, batch_size: int,
-                 max_wait_ms: float = 15.0):
+                 max_wait_ms: float = 15.0,
+                 dispatch_lock: Optional[threading.Lock] = None,
+                 submit_timeout_s: float = 600.0):
         self._fn = predict_batch_fn
         self._batch = int(batch_size)
         self._wait_s = float(max_wait_ms) / 1000.0
+        # Shared with any direct-dispatch path (predict_batch route) so only
+        # one thread ever touches the device at a time — the tunnelled TPU
+        # link requires ordered dispatch (CLAUDE.md).
+        self._dispatch_lock = dispatch_lock or threading.Lock()
+        self._submit_timeout_s = float(submit_timeout_s)
         self._q: queue.SimpleQueue = queue.SimpleQueue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -75,7 +82,13 @@ class DynamicBatcher:
         slot: Dict = {}
         done = threading.Event()
         self._q.put((xyz, aux, slot, done))
-        done.wait()
+        # Timeout safety net (ADVICE r3): if the batcher thread ever died or
+        # a dispatch hangs, fail this request instead of wedging the handler
+        # thread forever.
+        if not done.wait(self._submit_timeout_s):
+            raise TimeoutError(
+                f"batched prediction did not complete in "
+                f"{self._submit_timeout_s:.0f}s")
         if "error" in slot:
             raise slot["error"]
         return slot["result"]
@@ -83,23 +96,29 @@ class DynamicBatcher:
     def _loop(self):
         while True:
             items = [self._q.get()]
-            deadline = time.monotonic() + self._wait_s
-            while len(items) < self._batch:
-                left = deadline - time.monotonic()
-                if left <= 0:
-                    break
-                try:
-                    items.append(self._q.get(timeout=left))
-                except queue.Empty:
-                    break
-            xyz = np.stack([it[0] for it in items])
-            aux = np.stack([it[1] for it in items])
-            if len(items) < self._batch:          # pad to the compiled shape
-                reps = self._batch - len(items)
-                xyz = np.concatenate([xyz, np.repeat(xyz[-1:], reps, 0)])
-                aux = np.concatenate([aux, np.repeat(aux[-1:], reps, 0)])
+            # The ENTIRE collection->stack->dispatch body is guarded: any
+            # failure (shape-mismatched aux making np.stack raise, device
+            # error, codec bug) surfaces to every collected waiter instead
+            # of killing the daemon thread and wedging all future submits
+            # (ADVICE r3 high finding).
             try:
-                results = self._fn(xyz, aux)
+                deadline = time.monotonic() + self._wait_s
+                while len(items) < self._batch:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    try:
+                        items.append(self._q.get(timeout=left))
+                    except queue.Empty:
+                        break
+                xyz = np.stack([it[0] for it in items])
+                aux = np.stack([it[1] for it in items])
+                if len(items) < self._batch:      # pad to the compiled shape
+                    reps = self._batch - len(items)
+                    xyz = np.concatenate([xyz, np.repeat(xyz[-1:], reps, 0)])
+                    aux = np.concatenate([aux, np.repeat(aux[-1:], reps, 0)])
+                with self._dispatch_lock:
+                    results = self._fn(xyz, aux)
             except Exception as e:                # surface to every waiter
                 for _, _, slot, done in items:
                     slot["error"] = e
@@ -130,11 +149,15 @@ class PredictionServer:
             self.aux_key = "normals"
         self.cfg = cfg
         self.family = family
-        self.batcher = DynamicBatcher(self.predictor.predict_batch,
-                                      cfg.batch_size, max_wait_ms)
-        # predict_batch direct calls share the batcher's device ordering by
-        # funnelling through the same lock
+        # Normals (abc) and rgb feats (scene) are both 3-wide; validated per
+        # request so a malformed aux can never reach the batcher's np.stack.
+        self.aux_dim = 3
+        # One lock orders EVERY device dispatch: the batcher loop and the
+        # direct predict_batch route both acquire it (ADVICE r3 medium).
         self._direct_lock = threading.Lock()
+        self.batcher = DynamicBatcher(self.predictor.predict_batch,
+                                      cfg.batch_size, max_wait_ms,
+                                      dispatch_lock=self._direct_lock)
 
     # -- payload codecs ----------------------------------------------------
 
@@ -201,6 +224,11 @@ class PredictionServer:
                 return 400, "application/json", json.dumps(
                     {"error": f"xyz must be [{n}, 3]; got "
                               f"{list(xyz.shape)}"}).encode()
+            if aux.shape != (n, self.aux_dim):
+                return 400, "application/json", json.dumps(
+                    {"error": f"'{self.aux_key}' must be "
+                              f"[{n}, {self.aux_dim}]; got "
+                              f"{list(aux.shape)}"}).encode()
             try:
                 res = self.batcher.submit(xyz, aux)
             except Exception as e:
@@ -216,6 +244,11 @@ class PredictionServer:
             return 400, "application/json", json.dumps(
                 {"error": f"xyz must be [{self.cfg.batch_size}, {n}, 3];"
                           f" got {list(xyz.shape)}"}).encode()
+        if aux.shape != (self.cfg.batch_size, n, self.aux_dim):
+            return 400, "application/json", json.dumps(
+                {"error": f"'{self.aux_key}' must be "
+                          f"[{self.cfg.batch_size}, {n}, {self.aux_dim}];"
+                          f" got {list(aux.shape)}"}).encode()
         try:
             with self._direct_lock:
                 results = self.predictor.predict_batch(xyz, aux)

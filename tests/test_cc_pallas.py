@@ -41,6 +41,8 @@ def _oracle_labels(a):
     (300, 0.02, 1),     # non-multiple of 256
     (257, 0.0, 2),      # no edges: identity labels
     (512, 0.01, 3),     # exact multiple, two row tiles
+    (600, 0.02, 4),     # n_pad=768: ADVICE r3 tail-tile drop regression
+    (2100, 0.005, 5),   # n_pad=2304: budget tile 512 does not divide
 ])
 def test_pallas_cc_matches_oracle(n, p, seed):
     a = _random_graph(n, p, seed)
@@ -58,6 +60,17 @@ def test_pallas_cc_chain_worst_case():
     a = a | a.T
     got = np.asarray(cc_pallas.connected_components_pallas(jnp.asarray(a)))
     np.testing.assert_array_equal(got, np.zeros(n, np.int64))
+
+
+def test_row_tiles_divide_n_pad():
+    # The grid is n_pad // tm with no boundary handling: tm MUST divide
+    # n_pad for every reachable padded size (multiples of 256).
+    for m in range(1, 64):
+        n_pad = 256 * m
+        tm = cc_pallas._row_tile(n_pad)
+        assert n_pad % tm == 0 and tm % 32 == 0, (n_pad, tm)
+        tmp = cc_pallas._row_tile_packed(n_pad, n_pad // 32)
+        assert n_pad % tmp == 0 and tmp % 8 == 0, (n_pad, tmp)
 
 
 def test_impl_dispatch_equivalence():
@@ -86,6 +99,8 @@ def test_masked_min_sweep_values():
     (300, 0.02, 1),
     (257, 0.0, 2),
     (512, 0.01, 3),
+    (600, 0.02, 4),     # n_pad=768: ADVICE r3 tail-tile drop regression
+    (2100, 0.005, 5),   # n_pad=2304
 ])
 def test_pallas32_cc_matches_oracle(n, p, seed):
     a = _random_graph(n, p, seed)

@@ -36,9 +36,11 @@ def server(tmp_path_factory):
     srv = PredictionServer(cfg, checkpoint_dir=None, family="abc",
                            max_wait_ms=5.0)
     ready = threading.Event()
+    # port=0: OS-assigned ephemeral port (the fixture reads the bound port
+    # back below), so parallel/repeated runs never collide (ADVICE r3).
     t = threading.Thread(target=srv.serve,
-                         kwargs=dict(host="127.0.0.1", port=0x5BA1 % 30000
-                                     + 20000, ready_event=ready),
+                         kwargs=dict(host="127.0.0.1", port=0,
+                                     ready_event=ready),
                          daemon=True)
     t.start()
     assert ready.wait(30)
@@ -135,6 +137,69 @@ def test_predict_batch_and_shape_errors(server):
     # unknown route -> 404
     status, _, _ = _post(base + "/v1/nope", b"{}")
     assert status == 404
+
+
+def test_bad_aux_shape_rejected_and_server_survives(server):
+    """ADVICE r3 high: a malformed aux must be a 400, never a batcher-thread
+    crash — and the endpoint keeps serving afterwards."""
+    _, cfg, base = server
+    xyz, nrm = _cloud(cfg, seed=20)
+    # right xyz, wrong normals shape (would have np.stack-crashed the loop)
+    body = json.dumps({"xyz": xyz.tolist(),
+                       "normals": nrm[: cfg.num_points // 2].tolist()}
+                      ).encode()
+    status, _, payload = _post(base + "/v1/predict", body)
+    assert status == 400
+    assert "'normals' must be" in json.loads(payload)["error"]
+
+    # wrong batch aux -> 400 too
+    b = cfg.batch_size
+    buf = io.BytesIO()
+    np.savez(buf, xyz=np.zeros((b, cfg.num_points, 3), np.float32),
+             normals=np.zeros((b, cfg.num_points, 4), np.float32))
+    status, _, payload = _post(base + "/v1/predict_batch", buf.getvalue(),
+                               content_type="application/x-npz")
+    assert status == 400
+
+    # the batcher is still alive: a good request completes
+    good = json.dumps({"xyz": xyz.tolist(), "normals": nrm.tolist()}).encode()
+    status, _, payload = _post(base + "/v1/predict", good)
+    assert status == 200, payload
+
+
+def test_batcher_loop_failure_surfaces_to_all_waiters():
+    """Any exception inside the batcher loop (incl. pre-dispatch stacking)
+    sets the error on every collected waiter instead of killing the daemon
+    thread and wedging future submits."""
+    from gcanet_tpu.serve_http import DynamicBatcher
+
+    calls = {"n": 0}
+
+    def flaky(xyz, aux):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("device fell over")
+        return [{"ok": True} for _ in range(xyz.shape[0])]
+
+    b = DynamicBatcher(flaky, batch_size=2, max_wait_ms=1.0,
+                       submit_timeout_s=30.0)
+    one = np.zeros((4, 3), np.float32)
+    with pytest.raises(RuntimeError, match="device fell over"):
+        b.submit(one, one)
+    # loop survived; next submit succeeds
+    assert b.submit(one, one) == {"ok": True}
+
+    # ragged aux reaching the loop directly (bypassing handle()'s
+    # validation) must also error the waiter, not kill the thread
+    import queue as _q
+    slot, done = {}, threading.Event()
+    b._q.put((one, np.zeros((3, 3), np.float32), slot, done))
+    slot2, done2 = {}, threading.Event()
+    b._q.put((one, one, slot2, done2))
+    assert done.wait(30) and done2.wait(30)
+    assert "error" in slot and "error" in slot2
+    assert b.submit(one, one) == {"ok": True}
+    assert b._thread.is_alive()
 
 
 def test_dynamic_batching_concurrent_requests(server):

@@ -166,6 +166,37 @@ for s in $steps; do case $s in
     run j3k_strict_hard_s1 python tools/convergence_run.py --steps 3000 \
       --hard --seed 1 --nn-nb 80 --recall exact --max-proposals 200 \
       --out /tmp/conv_j3k_strict_hard_s1.jsonl ;;
+  j3k_finish)
+    # VERDICT r3 item 1: close the tuned-defaults evidence gap.  (a) the
+    # strict_def 3000-step control died at step 500 (tunnel stall) — re-run
+    # it to completion; (b) seed-1 repeats of the joint pair, HARD mix first
+    # (the contested mix: the inner=32 revert trigger fired there).
+    # Collate: python tools/gate_report.py /tmp/conv_j3k_*.jsonl \
+    #   --pair j3k_tuned_def=j3k_strict_def --pair j3k_tuned_hard=j3k_strict_hard \
+    #   --pair j3k_tuned_hard_s1=j3k_strict_hard_s1 --pair j3k_tuned_def_s1=j3k_strict_def_s1
+    run j3k_strict_def python tools/convergence_run.py --steps 3000 \
+      --nn-nb 80 --recall exact --max-proposals 200 \
+      --out /tmp/conv_j3k_strict_def.jsonl
+    run j3k_tuned_def_s1 python tools/convergence_run.py --steps 3000 \
+      --seed 1 --nn-nb-inner 32 --max-proposals 100 \
+      --out /tmp/conv_j3k_tuned_def_s1.jsonl
+    run j3k_strict_def_s1 python tools/convergence_run.py --steps 3000 \
+      --seed 1 --nn-nb 80 --recall exact --max-proposals 200 \
+      --out /tmp/conv_j3k_strict_def_s1.jsonl ;;
+  j3k_hard_s1)
+    # (tuned_hard_s1 completed 2026-08-20 21:33; re-run only the strict
+    # control if its first attempt was truncated before step ~2250)
+    run j3k_strict_hard_s1 python tools/convergence_run.py --steps 3000 \
+      --hard --seed 1 --nn-nb 80 --recall exact --max-proposals 200 \
+      --out /tmp/conv_j3k_strict_hard_s1b.jsonl ;;
+  cc_pallas32)
+    # VERDICT r3 item 3: decide the bit-packed sweep (cc_impl=pallas32,
+    # 9fa4563).  Isolated CC first, then paired end-to-end vs the adopted
+    # pallas default.  Adopt into cc_impl="auto" on TPU if both win.
+    run cc32_iso   env GCA_BENCH_CC_PALLAS=2 python tools/micro_bench.py cc
+    run cc8_iso    env GCA_BENCH_CC_PALLAS=1 python tools/micro_bench.py cc
+    run cc32_bench env GCA_BENCH_CC_PALLAS=2 python bench.py
+    run cc8_bench  env GCA_BENCH_CC_PALLAS=1 python bench.py ;;
   cc_pallas)
     # Pallas tiled CC sweep vs the XLA select+min sweep (ops/cc_pallas.py).
     # Stage-level A/B first (CC in isolation), then end-to-end.
