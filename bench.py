@@ -131,6 +131,26 @@ def main():
     if n_dev > 1:
         row["devices"] = n_dev
         row["total_clouds_per_sec"] = round(clouds_per_sec * n_dev, 3)
+    # Roofline context (VERDICT r3 item 7): XLA's own per-executable cost
+    # model gives FLOPs and HBM bytes for the EXACT compiled step; divide by
+    # the measured step time and the chip peaks (v5e: 197 TFLOP/s bf16 MXU,
+    # 819 GB/s HBM).  mfu counts every XLA op's flops (a slight overcount vs
+    # the matmul-only convention); hbm_util counts compiler-visible bytes
+    # (fusion keeps actual traffic at or below it).  Best-effort: older
+    # plugins without cost_analysis simply omit the fields.
+    try:
+        ca = train_step.lower(state, batch, rng).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_s = dt / n_iters
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        if flops > 0:
+            row["mfu"] = round(flops / n_dev / step_s / 1.97e14, 4)
+        if byts > 0:
+            row["hbm_util"] = round(byts / n_dev / step_s / 8.19e11, 4)
+    except Exception:
+        pass
     print(json.dumps(row))
 
 

@@ -35,6 +35,15 @@ class GroupingConfig:
     low_frac: float = 0.05            # kept-fragment lower bound (hierarchical_aggregation.cpp:60)
     high_frac: float = 0.3            # primary threshold (hierarchical_aggregation.cpp:61)
     set_aggr_r_coeff: float = 0.01    # r_set = coeff * sqrt(primary_npoint) (hierarchical_aggregation.cu:51)
+    # Strict-parity caps replicating the CUDA buffer limits (0 = uncapped,
+    # the TPU default — COMPONENTS.md deviations #3/#5).  Reference values:
+    # neighbor_cap=3000 (bfs_cluster.cu:30 idx_temp), absorb_fragment_cap=1000
+    # and absorb_point_cap=3000 (hierarchical_aggregation.cu:9-11).  Enable
+    # all three with ``--strict_caps`` (train_new CLI) for dense real scenes
+    # where the reference's truncation changes outputs.
+    neighbor_cap: int = 0
+    absorb_fragment_cap: int = 0
+    absorb_point_cap: int = 0
     cc_max_iters: int = 64            # label-propagation budget for connected components
     # CC sweep implementation: "auto" (pallas on TPU, xla elsewhere),
     # "xla" (select+min reduce) or "pallas" (tiled VMEM kernel,
@@ -364,6 +373,11 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     p("--x4_split", type=int, default=int(c.x4_split))
     p("--max_proposals", type=int, default=c.instance_head.max_proposals,
       help="train-time proposal cap (reference parity: 200; TPU default 100)")
+    p("--strict_caps", type=int, default=0,
+      help="replicate the CUDA grouping buffer caps (bfs_cluster.cu:30 "
+           "3000-neighbour lists; hierarchical_aggregation.cu:9-11 1000 "
+           "fragments / 3000 absorbed points per primary). Off by default: "
+           "production densities never reach them (tests/test_grouping_caps)")
 
 
 def config_from_namespace(ns: argparse.Namespace) -> Config:
@@ -375,6 +389,10 @@ def config_from_namespace(ns: argparse.Namespace) -> Config:
     if mp is not None and mp != c.instance_head.max_proposals:
         c = c.replace(instance_head=dataclasses.replace(
             c.instance_head, max_proposals=mp))
+    if getattr(ns, "strict_caps", 0):
+        c = c.replace(grouping=dataclasses.replace(
+            c.grouping, neighbor_cap=3000, absorb_fragment_cap=1000,
+            absorb_point_cap=3000))
     return c
 
 

@@ -129,6 +129,14 @@ def gated_neighbor_mask(
     nbr = nbr & class_gate(emb, cfg.similarity_threshold_inst)
     if cfg.similarity_threshold_para > 0.0:
         nbr = nbr & class_gate(param, cfg.similarity_threshold_para)
+    if cfg.neighbor_cap:
+        # bfs_cluster.cu:30,53-58: each point's neighbour list keeps only its
+        # first ``cap`` gated neighbours in ascending index order (the CUDA
+        # idx_temp buffer).  This makes the graph DIRECTED (row = out-edges);
+        # connected_components must then propagate along edge direction
+        # (see build_proposals) to reproduce the reference's BFS exactly.
+        cum = jnp.cumsum(nbr.astype(jnp.int32), axis=1)
+        nbr = nbr & (cum <= cfg.neighbor_cap)
     return nbr, class_valid
 
 
@@ -220,6 +228,13 @@ def build_proposals(
         shifted_i, cls_i, emb_i, param_i = args
         nbr, class_valid = gated_neighbor_mask(
             shifted_i, cls_i, emb_i, param_i, num_classes, cfg)
+        if cfg.neighbor_cap:
+            # Directed capped graph: the reference BFS (find_cc,
+            # hierarchical_aggregation.cpp:11-42) labels i with the MINIMUM
+            # index that reaches it along out-edges; min-label propagation
+            # over INCOMING edges (nbr.T) computes exactly that fixpoint
+            # (verified against a directed-BFS oracle, tests/test_grouping_caps)
+            nbr = nbr.T
         labels = connected_components(nbr, cfg.cc_max_iters, cfg.cc_impl)
         csize, size_at_root, center_at_root = _cc_stats(labels, shifted_i)
         return labels, csize, size_at_root, center_at_root, class_valid
@@ -308,10 +323,38 @@ def build_proposals(
         nearest_d2 = jnp.take_along_axis(d2, nearest[:, None], axis=1)[:, 0]
         r_set2 = (cfg.set_aggr_r_coeff ** 2) * prop_size[nearest].astype(jnp.float32)
         absorbed = g_frag_root & (nearest_d2 < r_set2)
+        if cfg.absorb_fragment_cap:
+            # hierarchical_aggregation.cu:9 MAX_PER_PRIMARY_ABSORB_FRAGMENT_NUM:
+            # each primary absorbs at most ``cap`` fragments, in ascending
+            # fragment-root order (the deterministic stand-in for CUDA's
+            # atomicAdd arrival order; the numpy oracle uses the same order).
+            key = jnp.where(absorbed, nearest, p)                 # [B*N]
+            order = jnp.argsort(key * (n_total + 1) + g_idx)
+            sorted_key = key[order]
+            first = jnp.searchsorted(sorted_key, sorted_key, side="left")
+            rank_sorted = jnp.arange(n_total, dtype=jnp.int32) - first
+            frag_rank = jnp.zeros((n_total,), jnp.int32).at[order].set(
+                rank_sorted.astype(jnp.int32))
+            absorbed = absorbed & (frag_rank < cfg.absorb_fragment_cap)
         # propagate the root's absorption to all points of the fragment
         absorb_pid_at_root = jnp.where(absorbed, nearest, -1)     # defined at root slots
         pid_b = absorb_pid_at_root[g_labels]
         pid_b = jnp.where(is_fragment.reshape(-1) & (pid_b >= 0), pid_b, -1)
+        if cfg.absorb_point_cap:
+            # hierarchical_aggregation.cu:11 MAX_PER_PRIMARY_ABSORB_POINT_NUM:
+            # at most ``cap`` absorbed POINTS per primary, ordered by
+            # (fragment root, point index).  Deviation: within a fragment the
+            # CUDA budget truncates in CSR (BFS-discovery) order; we use
+            # ascending point index — differs only when the cap cuts inside
+            # one fragment.
+            pidk = jnp.where(pid_b >= 0, pid_b, p)
+            order = jnp.lexsort((g_idx, g_labels, pidk))
+            sorted_pid = pidk[order]
+            first = jnp.searchsorted(sorted_pid, sorted_pid, side="left")
+            rank_sorted = jnp.arange(n_total, dtype=jnp.int32) - first
+            keep = jnp.zeros((n_total,), bool).at[order].set(
+                rank_sorted < cfg.absorb_point_cap)
+            pid_b = jnp.where(keep, pid_b, -1)
 
     point_pid = jnp.stack([pid_a, pid_b], axis=0)
     return Proposals(point_pid=point_pid, valid=prop_valid, cls=prop_cls,

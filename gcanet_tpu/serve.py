@@ -246,6 +246,28 @@ class Predictor:
         while pending:
             yield from self._finalize_batch(*pending.popleft())
 
+    def predict_type_sharded(self, xyz: np.ndarray, normals: np.ndarray):
+        """Per-point semantics for ONE cloud LARGER than the compiled
+        ``num_points`` — the point axis sharded over all devices (ring kNN +
+        ring-gathered edge convs, parallel/sharded_encoder.py).
+
+        xyz/normals [N, 3] with N any multiple of the device count (no
+        relation to cfg.num_points).  Returns a dict with per-point
+        ``type_per_point`` [N, C] (argmax = semantic class),
+        ``param_per_point`` [N, 22] and ``embedding`` [N, out_dim].
+        Uses the restored checkpoint's weights; grouping/instance
+        extraction remain single-chip paths.
+        """
+        from gcanet_tpu.parallel.sharded_encoder import predict_type_sharded
+
+        mesh = self.mesh  # None => build over all local devices inside
+        type_pp, param_pp, emb = predict_type_sharded(
+            self.cfg, self.state.params, np.asarray(xyz, np.float32),
+            np.asarray(normals, np.float32), mesh=mesh)
+        return {"type_per_point": type_pp, "param_per_point": param_pp,
+                "embedding": emb,
+                "types": type_pp.argmax(-1)}
+
 
 class ScenePredictor:
     """Scene-family (SoftGroup) serving: the switchover surface for reference

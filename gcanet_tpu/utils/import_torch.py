@@ -29,10 +29,13 @@ Known non-mapped reference keys (returned in ``report.skipped``):
   * duplicate Sequential registrations of shared GroupNorms
     (``encoder.conv1.1`` is the same tensor as ``encoder.bn1`` etc.).
   * ``num_batches_tracked`` counters.
-  * The inverse-conv (``tiny_unet.deconv.2``) import is layout-mapped but the
-    dense ConvTranspose is only architecture-equivalent, not bit-equivalent,
-    to spconv's SparseInverseConv3d (gathers at inactive sites differ);
-    accuracy parity should be validated per-checkpoint.
+  * The inverse-conv (``tiny_unet.deconv.2``) maps through DECONV3D: flax's
+    ``ConvTranspose`` (lax.conv_transpose) applies MIRRORED kernel taps
+    relative to torch/spconv's inverse convolution, so the kernel is
+    spatially flipped on import (and unflipped on export).  With the flip
+    the dense U-Net matches the reference's sparse one to float rounding at
+    active sites (tests/test_reference_instance_path_parity.py, which runs
+    the reference's real blocks.py UBlock on a CPU spconv emulation).
 """
 
 from __future__ import annotations
@@ -52,6 +55,7 @@ CONV1X1 = "conv1x1"        # [out,in,1(,1)] -> [in,out]
 NORM = "norm"              # weight->scale, bias->bias (GN or BN affine)
 BN_STATS = "bn_stats"      # running_mean->mean, running_var->var
 CONV3D = "conv3d"          # spconv layouts -> [k,k,k,in,out]
+DECONV3D = "deconv3d"      # inverse conv -> flax ConvTranspose: + spatial flip
 SUBM1X1 = "subm1x1"        # Custom1x1Subm3d -> Dense [in,out]
 
 
@@ -163,7 +167,7 @@ def build_rules(mode: int = 5, model: str = "flagship") -> List[Rule]:
         Rule("tiny_unet.conv.2", tu + ("Conv_0",), CONV3D),
         Rule("tiny_unet.deconv.0", tu + ("MaskedBatchNorm_1",), NORM),
         Rule("tiny_unet.deconv.0", tu + ("MaskedBatchNorm_1",), BN_STATS),
-        Rule("tiny_unet.deconv.2", tu + ("ConvTranspose_0",), CONV3D),
+        Rule("tiny_unet.deconv.2", tu + ("ConvTranspose_0",), DECONV3D),
     ]
     for i, fname in enumerate(["ResidualBlock_0", "ResidualBlock_1"]):
         rules += _res_block_rules(f"tiny_unet.blocks.block{i}", tu + (fname,))
@@ -399,6 +403,10 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray],
                 w = _to_dense_kernel(w)
             elif rule.kind == CONV3D:
                 w = _to_conv3d_kernel(w, tshape)
+            elif rule.kind == DECONV3D:
+                # lax.conv_transpose applies mirrored taps vs the inverse
+                # conv; flip so the dense deconv reproduces spconv's pairing
+                w = _to_conv3d_kernel(w, tshape)[::-1, ::-1, ::-1]
             elif rule.kind == SUBM1X1:
                 w = _to_subm1x1_kernel(w)
             w = np.asarray(w, dtype=np.float32)
@@ -651,6 +659,8 @@ def export_state_dict(params, batch_stats, num_primitives: int = 7,
                 w = w.T.reshape(tshape)
             elif rule.kind == CONV3D:
                 w = _from_conv3d_kernel(w, tshape)
+            elif rule.kind == DECONV3D:
+                w = _from_conv3d_kernel(w[::-1, ::-1, ::-1], tshape)
             elif rule.kind == SUBM1X1:
                 w = w.T.reshape(tshape)
             w = np.asarray(w, dtype=np.float32)

@@ -139,18 +139,27 @@ def _fill(ccs, coord_shift, semantic_label, batch_idxs):
 
 def hierarchical_aggregation(semantic_label, coord_shift, ball_query_idxs,
                              start_len, batch_idxs, training_mode,
-                             using_set_aggr):
-    """functions.py:7-79 + hierarchical_aggregation.cpp/.cu semantics."""
+                             using_set_aggr,
+                             absorb_fragment_cap=MAX_PER_PRIMARY_ABSORB_FRAGMENT_NUM,
+                             absorb_point_cap=MAX_PER_PRIMARY_ABSORB_POINT_NUM,
+                             class_numpoint_mean=None):
+    """functions.py:7-79 + hierarchical_aggregation.cpp/.cu semantics.
+
+    The cap/mean keyword overrides exist so adversarial tests can make the
+    CUDA buffer limits bite at toy sizes (production values are the
+    defaults; the reference hard-codes them)."""
     sem = np.asarray(semantic_label.detach().cpu(), np.int64)
     shift = np.asarray(coord_shift.detach().cpu(), np.float32)
     bq = np.asarray(ball_query_idxs.detach().cpu(), np.int64)
     sl = np.asarray(start_len.detach().cpu(), np.int64)
     bidx = np.asarray(batch_idxs.detach().cpu(), np.int64).reshape(-1)
 
+    mean_tbl = (CLASS_NUMPOINT_MEAN_DICT if class_numpoint_mean is None
+                else class_numpoint_mean)
     ccs = _find_ccs(sem, bq, sl)
     frag, kept, primary = [], [], []
     for comp in ccs:
-        mean = CLASS_NUMPOINT_MEAN_DICT[sem[comp[0]]]
+        mean = mean_tbl[sem[comp[0]]]
         low, high = 0.05 * mean, 0.3 * mean
         if len(comp) < high:
             frag.append(comp)
@@ -165,7 +174,8 @@ def hierarchical_aggregation(semantic_label, coord_shift, ball_query_idxs,
     if int(using_set_aggr):
         frag_idxs, frag_off, frag_ctr = _fill(frag, shift, sem, bidx)
         prim_idxs, prim_off = _set_aggr(
-            frag_idxs, frag_off, frag_ctr, prim_idxs, prim_off, prim_ctr)
+            frag_idxs, frag_off, frag_ctr, prim_idxs, prim_off, prim_ctr,
+            absorb_fragment_cap, absorb_point_cap)
 
     # functions.py:57-73: kept first, then primaries with shifted ids
     cluster_idxs, cluster_offsets = kept_idxs, kept_off
@@ -179,7 +189,9 @@ def hierarchical_aggregation(semantic_label, coord_shift, ball_query_idxs,
             torch.as_tensor(cluster_offsets.astype(np.int32)))
 
 
-def _set_aggr(frag_idxs, frag_off, frag_ctr, prim_idxs, prim_off, prim_ctr):
+def _set_aggr(frag_idxs, frag_off, frag_ctr, prim_idxs, prim_off, prim_ctr,
+              absorb_fragment_cap=MAX_PER_PRIMARY_ABSORB_FRAGMENT_NUM,
+              absorb_point_cap=MAX_PER_PRIMARY_ABSORB_POINT_NUM):
     """hierarchical_aggregation.cu:22-105 with its caps.  Fragments absorb
     in ascending fragment index (CUDA: atomicAdd arrival order)."""
     n_prim = prim_off.shape[0] - 1
@@ -203,12 +215,12 @@ def _set_aggr(frag_idxs, frag_off, frag_ctr, prim_idxs, prim_off, prim_ctr):
         npts = int(prim_off[best + 1] - prim_off[best])
         r_set = 0.01 * np.sqrt(float(npts))
         if best_d2 < r_set * r_set:
-            if len(absorb[best]) < MAX_PER_PRIMARY_ABSORB_FRAGMENT_NUM:
+            if len(absorb[best]) < absorb_fragment_cap:
                 absorb[best].append(f)
     out_idxs, out_off = [], [0]
     for p in range(n_prim):
         rows = [prim_idxs[prim_off[p]:prim_off[p + 1]]]
-        budget = MAX_PER_PRIMARY_ABSORB_POINT_NUM
+        budget = absorb_point_cap
         for f in absorb[p]:
             pts = frag_idxs[frag_off[f]:frag_off[f + 1], 1][:budget]
             budget -= len(pts)

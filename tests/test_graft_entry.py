@@ -31,7 +31,10 @@ def test_entry_traces_and_shapes():
     assert cls_scores.ndim >= 2
 
 
-def test_dryrun_multichip_8():
+def test_dryrun_multichip_8(monkeypatch):
     if jax.device_count() != 8:
         pytest.skip("needs the 8-device virtual CPU mesh from conftest")
+    # fast tier only here: tests/test_dryrun_production.py owns the
+    # production-ratio pass (the driver's artifact runs BOTH by default)
+    monkeypatch.setenv("GCA_DRYRUN_TIER", "fast")
     graft.dryrun_multichip(8)

@@ -55,3 +55,31 @@ def test_two_process_train_step_and_gathers(family):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
         assert "MULTIHOST_SMOKE_OK" in out, out[-1000:]
         assert "devices=4" in out  # 2 processes x 2 local devices
+
+
+def test_four_process_train_step():
+    """4-process gRPC world (VERDICT r3 item 6): the mesh/rebase algebra is
+    exercised beyond the 2-process pairing (uneven rank>1 neighbourhoods,
+    4-way allgathers)."""
+    port = _free_port()
+    world = 4
+    procs = []
+    for rank in range(world):
+        env = dict(
+            os.environ,
+            GCA_COORDINATOR=f"127.0.0.1:{port}",
+            GCA_NUM_PROCESSES=str(world),
+            GCA_PROCESS_ID=str(rank),
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(SCRIPT), "abc"], env=env, cwd=str(ROOT),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=2400)
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+        assert "MULTIHOST_SMOKE_OK" in out, out[-1000:]
+        assert "devices=8" in out  # 4 processes x 2 local devices
