@@ -79,7 +79,10 @@ def main():
             # default follows Config.scene_bf16 (ON since the 2026-08-20
             # convergence gate); GCA_BENCH_SCENE_BF16=0 benches strict fp32
             compute_bf16=bool(int(os.environ.get("GCA_BENCH_SCENE_BF16",
-                                                 str(int(cfg.scene_bf16))))))
+                                                 str(int(cfg.scene_bf16))))),
+            # GCA_BENCH_SCENE_REMAT=1: drop U-Net block activations (B>4
+            # memory A/B; BASELINE.md round-4)
+            remat=bool(int(os.environ.get("GCA_BENCH_SCENE_REMAT", "0"))))
         state = scene_step.init_scene_state(cfg, model, tx,
                                             jax.random.PRNGKey(0))
         train_step = scene_step.make_scene_train_step(cfg, model, tx, mesh,

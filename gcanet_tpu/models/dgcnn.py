@@ -99,7 +99,10 @@ class DGCNNEncoderGn(fnn.Module):
             nbr1 = knn_ops.gather_neighbors(x, idx1)
         ef = knn_ops.edge_feature_from_gathered(x, nbr1)
         Conv1 = fnn.remat(ConvGNAct) if self.remat else ConvGNAct
-        ef = Conv1(64, 2, dtype=jnp.bfloat16 if self.compute_bf16 else None)(ef)
+        # explicit names: lifted transforms auto-name as Checkpoint<Class>_N,
+        # which would silently fork the param tree between remat on/off
+        ef = Conv1(64, 2, dtype=jnp.bfloat16 if self.compute_bf16 else None,
+                   name="ConvGNAct_0")(ef)
         x1 = jnp.max(ef, axis=2).astype(x.dtype)
 
         # optional remat: [B, N, K, C] edge tensors recomputed in the backward
@@ -111,9 +114,9 @@ class DGCNNEncoderGn(fnn.Module):
         k2 = min(self.nn_nb_inner, k) if self.nn_nb_inner else k
         idx_shared = idx1[..., :k2] if self.shared_graph else None
         x2 = EC(64, 2, k2, self.knn_impl, self.compute_bf16,
-                self.edge_backward)(x1, idx_shared)
+                self.edge_backward, name="EdgeConv_0")(x1, idx_shared)
         x3 = EC(128, 2, k2, self.knn_impl, self.compute_bf16,
-                self.edge_backward)(x2, idx_shared)
+                self.edge_backward, name="EdgeConv_1")(x2, idx_shared)
 
         x_features = jnp.concatenate([x1, x2, x3], axis=-1)  # [B, N, 256]
         x4 = fnn.relu(DenseGN(1024, 8)(x_features))          # mlp1 + bnmlp1 (dgcnn-4.py:508)

@@ -119,7 +119,8 @@ class PrimitiveNet(fnn.Module):
         else:
             nf = knn_ops.edge_feature_normals_g_from_gathered(points6, nbr1)
         nf = (fnn.remat(ConvGNAct) if cfg.remat else ConvGNAct)(
-            64, 2, dtype=jnp.bfloat16 if cfg.encoder_bf16 else None)(nf)
+            64, 2, dtype=jnp.bfloat16 if cfg.encoder_bf16 else None,
+            name="ConvGNAct_0")(nf)
         normal_feature = jnp.max(nf, axis=2).astype(x_all.dtype)  # [B, N, 64]
         emb_in = jnp.concatenate([x_all, x_type, x_para, normal_feature], axis=-1)  # 832
         h = fnn.relu(DenseGN(256, 4)(emb_in))
@@ -138,7 +139,8 @@ class PrimitiveNet(fnn.Module):
                     xyz, opc, type_logits, embedding)
             else:
                 OPM = fnn.remat(OffsetPredModule) if cfg.remat else OffsetPredModule
-                pt_offsets = OPM(cfg.offset_knn, cfg.offset_keypoints)(
+                pt_offsets = OPM(cfg.offset_knn, cfg.offset_keypoints,
+                                 name="OffsetPredModule_0")(
                     xyz, opc, embedding)                          # [B, N, 3]
         else:
             pt_offsets = MLP(3, hidden_features=128)(opc)         # offset_linear

@@ -40,10 +40,19 @@ class SceneUNet(fnn.Module):
 
     channels: int = 32
     dtype: jnp.dtype | None = None
+    # Rematerialise the residual blocks' activations in backward: the level-0
+    # [B, G^3, C] tensors dominate scene HBM (B=10 at G=64 OOMs,
+    # BASELINE.md 2026-08-19); remat trades one extra forward pass of the
+    # blocks for dropping their stored activations, lifting the batch
+    # ceiling.  Opt-in via SoftGroupNet(remat=True) / GCA_BENCH_SCENE_REMAT.
+    remat: bool = False
 
     @fnn.compact
     def __call__(self, x, active, train: bool):
         c = self.channels
+        # train is arg index 3 (0 = module instance) — static python bool
+        RB = (fnn.remat(ResidualBlock, static_argnums=(3,)) if self.remat
+              else ResidualBlock)
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
@@ -62,17 +71,17 @@ class SceneUNet(fnn.Module):
                                   use_bias=False, dtype=self.dtype)(h)
             return h * a_target[..., None]
 
-        x0 = ResidualBlock(c, dtype=self.dtype)(x, active, train)
+        x0 = RB(c, dtype=self.dtype, name="ResidualBlock_0")(x, active, train)
         x1, a1 = down(x0, active)
-        x1 = ResidualBlock(2 * c, dtype=self.dtype)(x1, a1, train)
+        x1 = RB(2 * c, dtype=self.dtype, name="ResidualBlock_1")(x1, a1, train)
         x2, a2 = down(x1, a1)
-        x2 = ResidualBlock(4 * c, dtype=self.dtype)(x2, a2, train)
+        x2 = RB(4 * c, dtype=self.dtype, name="ResidualBlock_2")(x2, a2, train)
 
         u1 = up(x2, a1, 2 * c)
-        x1 = ResidualBlock(2 * c, dtype=self.dtype)(
+        x1 = RB(2 * c, dtype=self.dtype, name="ResidualBlock_3")(
             jnp.concatenate([x1, u1], -1), a1, train)
         u0 = up(x1, active, c)
-        x0 = ResidualBlock(c, dtype=self.dtype)(
+        x0 = RB(c, dtype=self.dtype, name="ResidualBlock_4")(
             jnp.concatenate([x0, u0], -1), active, train)
         return x0.astype(jnp.float32)
 
@@ -113,6 +122,9 @@ class SoftGroupNet(fnn.Module):
     # half precision pays directly.  Off by default pending a convergence A/B.
     compute_bf16: bool = False
     semantic_only: bool = False
+    # Remat the U-Net residual blocks (drops stored [B, G^3, C] activations;
+    # lifts the B=4 OOM ceiling at the cost of one extra block forward).
+    remat: bool = False
 
     def _backbone(self, xyz, feats, train: bool):
         """Voxelise + U-Net + v2p gather -> per-point features [B*N, C]."""
@@ -134,7 +146,7 @@ class SoftGroupNet(fnn.Module):
         h = h.reshape(b, g, g, g, self.channels) * active[..., None]
         h = SceneUNet(self.channels,
                       dtype=jnp.bfloat16 if self.compute_bf16 else None,
-                      name="unet")(h, active, train)
+                      remat=self.remat, name="unet")(h, active, train)
         h = MaskedBatchNorm(name="output_layer")(h, train=train, active=active)
         h = fnn.relu(h) * active[..., None]
         vox_out = h.reshape(b * g3, self.channels)

@@ -42,9 +42,12 @@ pytestmark = pytest.mark.skipif(not (REF.exists() and BLOCKS.exists()),
 G = 16          # matched grid for the differential (deviation #1 documented)
 
 
-def load_ref_model_full(using_set_aggr=False, n=96, k=12):
+def load_ref_model_full(using_set_aggr=False, n=96, k=12, with_rle=False):
     """Exec-load blocks.py against the spconv stub, then the model with the
     REAL ResidualBlock/UBlock/MLP and the op stubs — the tiny U-Net is live.
+
+    ``with_rle=True`` also exec-loads the reference's own rle codec
+    (softgroup/util/rle.py) so get_instances/merge_masks run for real.
     """
     spmod = sps.module()
     saved = {kk: sys.modules.get(kk) for kk in
@@ -82,6 +85,12 @@ def load_ref_model_full(using_set_aggr=False, n=96, k=12):
         "voxelization": ops_stub.voxelization,
         "voxelization_idx": ops_stub.voxelization_idx,
     }
+    if with_rle:
+        rle_py = pathlib.Path("/root/reference/softgroup/util/rle.py")
+        rns = {}
+        exec(compile(rle_py.read_text(), str(rle_py), "exec"), rns)
+        ns["rle_encode"] = rns["rle_encode"]
+        ns["rle_decode"] = rns["rle_decode"]
     src = _strip_imports(REF.read_text())
     src = src.replace("torch.device('cuda')", "torch.device('cpu')")
     src = src.replace(".cuda()", "")
@@ -255,3 +264,83 @@ def test_forward_instance_matches_reference():
         np.testing.assert_allclose(mo[0, int(pidx[r, 1])], mr[r],
                                    atol=2e-3, rtol=2e-3,
                                    err_msg=f"mask row {r}")
+
+
+def test_full_posttrunk_chain_same_instances():
+    """CAPSTONE: the complete post-trunk chain — set-aggregated grouping ->
+    clusters_voxelization -> tiny U-Net + heads -> get_instances (with the
+    reference's own rle codec) — produces the SAME instance list (ids,
+    confidences, masks, list order) through the real checkpoint importer.
+
+    The cls head's bias is boosted for one class so instances clear the
+    hard-coded 0.45 softmax threshold (dgcnn-4.py:1050) with random weights.
+    """
+    ref = load_ref_model_full(using_set_aggr=True, with_rle=True)
+    with torch.no_grad():
+        ref.cls_linear.bias[3] += 6.0
+    xyz, cls, sem, offsets, emb, param = _scenario()
+    n = cls.shape[1]
+    pidx, poff = ref_proposals(ref, xyz, sem, offsets, emb, param, "test")
+    n_ref = len(poff) - 1
+    rng = np.random.RandomState(5)
+    feats = rng.randn(n, 64).astype(np.float32)
+
+    with torch.no_grad():
+        vox_t, inp_map = ref.clusters_voxelization(
+            torch.as_tensor(pidx), torch.as_tensor(poff),
+            torch.as_tensor(feats), torch.as_tensor(xyz.reshape(-1, 3)),
+            scale=G, spatial_shape=G, rand_quantize=False)
+        _, cls_ref, iou_ref, mask_ref = ref.forward_instance(vox_t, inp_map)
+        ref_insts = ref.get_instances(
+            torch.as_tensor(pidx), torch.as_tensor(sem.reshape(-1, 7)),
+            cls_ref, iou_ref, mask_ref, v2p_map=None, lvl_fusion=False,
+            instance_classes=7)
+    assert len(ref_insts) >= 2, "capstone scenario produced no instances"
+
+    props = ours_proposals(xyz + offsets * 0, cls, emb, param,
+                           GroupingConfig(), 16, set_aggr=True)
+    vx = vox_ops.clusters_voxelization(
+        jnp.asarray(xyz.reshape(-1, 3)), jnp.asarray(feats),
+        jnp.asarray(props.point_pid), num_proposals=16, grid_size=G)
+    head = InstanceHead(num_classes=7, channels=64, grid_size=G,
+                        compute_bf16=False)
+    variables = head.init(jax.random.PRNGKey(0), vx.feats, vx.active,
+                          vx.entry_voxel, jnp.asarray(props.point_pid),
+                          False)
+    sd = {}
+    for name, mod in (("tiny_unet", ref.tiny_unet),
+                      ("tiny_unet_outputlayer", ref.tiny_unet_outputlayer),
+                      ("mask_linear", ref.mask_linear),
+                      ("cls_linear", ref.cls_linear),
+                      ("iou_score_linear", ref.iou_score_linear)):
+        for kk, v in mod.state_dict().items():
+            sd[f"{name}.{kk}"] = v.numpy()
+    params, batch_stats, report = convert_state_dict(
+        sd, {"InstanceHead_0": variables["params"]},
+        {"InstanceHead_0": variables.get("batch_stats", {})}, mode=5)
+    assert not report.unmatched
+    out = head.apply(
+        {"params": params["InstanceHead_0"],
+         "batch_stats": batch_stats["InstanceHead_0"]},
+        vx.feats, vx.active, vx.entry_voxel,
+        jnp.asarray(props.point_pid), False)
+
+    from gcanet_tpu.train import instances as inst_lib
+
+    our_insts = inst_lib.get_instances(
+        np.asarray(props.point_pid), sem.reshape(-1, 7),
+        np.asarray(out.cls_scores)[:n_ref],
+        np.asarray(out.iou_scores)[:n_ref],
+        np.asarray(out.mask_scores),
+        np.asarray(props.valid)[:n_ref], instance_classes=7)
+
+    assert len(our_insts) == len(ref_insts)
+    rle_decode = ref.forward_grouping.__func__.__globals__["rle_decode"]
+    for k, (a, b) in enumerate(zip(our_insts, ref_insts)):
+        assert int(a["label_id"]) == int(b["label_id"]), k
+        np.testing.assert_allclose(a["conf"], float(b["conf"]),
+                                   atol=2e-3, rtol=2e-3)
+        ours_mask = inst_lib.rle_decode(a["pred_mask"])
+        ref_mask = rle_decode(b["pred_mask"])
+        np.testing.assert_array_equal(ours_mask, ref_mask,
+                                      err_msg=f"instance {k} mask")

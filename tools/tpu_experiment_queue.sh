@@ -21,8 +21,13 @@ LOG=/tmp/tpu_queue_results.log
 steps="${*:-bench inner scene_conv serve group_vmap micro}"
 
 waittpu() {  # returns 1 if the deadline passes while waiting
-  until GCA_TPU_PROBE_TIMEOUT=120 timeout 180 python tools/tpu_health.py \
-      >> "$LOG" 2>&1; do
+  # GCA_QUEUE_PROBE (default 120s) — raise when the relay is in its
+  # "slow but alive" state (ops complete but take minutes to start;
+  # observed 2026-08-21 00:03-00:30: 120s probes failed for 25 min while a
+  # 500s probe succeeded)
+  local pt="${GCA_QUEUE_PROBE:-120}"
+  until GCA_TPU_PROBE_TIMEOUT="$pt" timeout $((pt + 60)) \
+      python tools/tpu_health.py >> "$LOG" 2>&1; do
     if [[ -n "${GCA_QUEUE_DEADLINE:-}" ]] \
         && (( GCA_QUEUE_DEADLINE - $(date +%s) < 120 )); then
       return 1
@@ -219,6 +224,22 @@ for s in $steps; do case $s in
     # K=48 serving re-measure (the 2026-08-19 21:24 numbers are contaminated
     # by a concurrent CPU drive; run this on an otherwise idle host)
     run serve python tools/serve_bench.py ;;
+  scene_perf)
+    # VERDICT r3 item 5: scene-family ladder.  Baseline B=4 19.5 clouds/s
+    # (bf16).  (a) batch lift via U-Net remat (GCA_BENCH_SCENE_REMAT drops
+    # the [B, G^3, C] block activations that OOM'd B=10); (b) raw B sweep;
+    # (c) grid 48 (semantics change -> convergence gate before adoption).
+    run scene_b4_ctrl env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 python bench.py
+    run scene_b6      env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=6 python bench.py
+    run scene_b8      env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=8 python bench.py
+    run scene_b8_rem  env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=8 \
+      GCA_BENCH_SCENE_REMAT=1 python bench.py
+    run scene_b10_rem env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=10 \
+      GCA_BENCH_SCENE_REMAT=1 python bench.py
+    run scene_b12_rem env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=12 \
+      GCA_BENCH_SCENE_REMAT=1 python bench.py
+    run scene_g48_b4  env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 \
+      GCA_BENCH_SCENE_GRID=48 python bench.py ;;
   group_vmap)
     # batched-CC grouping re-test at p=100/K=48 (rejected -3% at p=200/K=80)
     run group_vmap env GCA_BENCH_GROUP_VMAP=1 python bench.py
