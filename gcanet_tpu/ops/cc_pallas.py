@@ -137,11 +137,14 @@ def connected_components_pallas(nbr: jnp.ndarray,
 
 # ---------------------------------------------------------------------------
 # bit-packed sweep (cc_impl="pallas32"): 8x less HBM traffic than the int8
-# stream.  The sweep is memory-bound (BASELINE.md round-3 attribution: CC
-# 48.8 ms of a 377 ms step; speed-of-light for the int8 stream is ~8x
-# lower), so the mask ships as 32 columns per int32 word — packed ONCE per
-# CC call, read once per sweep — and the kernel unrolls the 32 bit lanes
-# as arithmetic selects (same i1-free form as _sweep_kernel).
+# stream — the mask ships as 32 columns per int32 word, packed ONCE per CC
+# call, and the kernel unrolls the 32 bit lanes as arithmetic selects.
+#
+# REJECTED as a default (BASELINE.md round-4, 2026-08-21): isolated A/B
+# 52.6/52.3 ms vs 40.9 ms for the int8 sweep — the sweep is not
+# mask-byte-bound at production N, so the unpack ALU (32 shift+and+select
+# per word) costs more than the saved bytes.  Kept oracle-tested for the
+# record; select via cc_impl="pallas32" / GCA_BENCH_CC_PALLAS=2.
 # ---------------------------------------------------------------------------
 
 

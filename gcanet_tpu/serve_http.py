@@ -22,6 +22,12 @@ Endpoints
 - ``POST /v1/predict_batch``   -> ``.npz`` with ``xyz [B, N, 3]`` (+
   ``normals``/``feats``); returns a JSON list of per-cloud results.
   ``B`` must equal the server's compiled ``batch_size``.
+- ``POST /v1/predict_type_sharded`` (abc family) -> one cloud of ANY size
+  (N a multiple of the device count, unrelated to the compiled
+  ``num_points``): per-point semantics for oversized clouds via the
+  point-axis-sharded trunk (ring kNN over the mesh,
+  parallel/sharded_encoder.py).  Returns ``{"types": [N]}`` JSON, or the
+  full per-point tensors as ``.npz`` under ``Accept: application/x-npz``.
 
 Responses are compact JSON: the instance list (``label_id``/``conf``/
 ``npoint`` + reference-bit-compatible RLE ``pred_mask``,
@@ -210,7 +216,8 @@ class PredictionServer:
     def handle(self, path: str, body: bytes, content_type: str,
                accept: str) -> tuple:
         """Route one POST; returns (status, content_type, payload_bytes)."""
-        if path not in ("/v1/predict", "/v1/predict_batch"):
+        if path not in ("/v1/predict", "/v1/predict_batch",
+                        "/v1/predict_type_sharded"):
             return 404, "application/json", json.dumps(
                 {"error": f"no route {path}"}).encode()
         try:
@@ -218,6 +225,8 @@ class PredictionServer:
         except Exception as e:
             return 400, "application/json", json.dumps(
                 {"error": str(e)}).encode()
+        if path == "/v1/predict_type_sharded":
+            return self._handle_sharded(xyz, aux, accept)
         n = self.cfg.num_points
         if path == "/v1/predict":
             if xyz.shape != (n, 3):
@@ -257,6 +266,39 @@ class PredictionServer:
                 {"error": str(e)}).encode()
         return 200, "application/json", json.dumps(
             [self._result_json(r) for r in results]).encode()
+
+    def _handle_sharded(self, xyz, aux, accept) -> tuple:
+        """Oversized-cloud per-point semantics (abc family only): the point
+        axis shards over the device mesh, so N is bounded by aggregate HBM
+        rather than one chip's working set."""
+        if self.family != "abc":
+            return 400, "application/json", json.dumps(
+                {"error": "predict_type_sharded serves the abc family"}
+            ).encode()
+        if xyz.ndim != 2 or xyz.shape[1] != 3 or aux.shape != xyz.shape:
+            return 400, "application/json", json.dumps(
+                {"error": f"xyz/normals must be [N, 3] with equal N; got "
+                          f"{list(xyz.shape)} / {list(aux.shape)}"}).encode()
+        import jax
+
+        d = len(jax.devices())
+        if xyz.shape[0] % d:
+            return 400, "application/json", json.dumps(
+                {"error": f"N={xyz.shape[0]} must be a multiple of the "
+                          f"device count ({d})"}).encode()
+        try:
+            # same single-dispatch ordering as every other device path
+            with self._direct_lock:
+                res = self.predictor.predict_type_sharded(xyz, aux)
+        except Exception as e:
+            return 500, "application/json", json.dumps(
+                {"error": str(e)}).encode()
+        if "npz" in (accept or ""):
+            buf = io.BytesIO()
+            np.savez(buf, **{k: np.asarray(v) for k, v in res.items()})
+            return 200, "application/x-npz", buf.getvalue()
+        return 200, "application/json", json.dumps(
+            {"types": res["types"].astype(int).tolist()}).encode()
 
     def health(self) -> Dict:
         return {"status": "ok", "family": self.family,

@@ -225,6 +225,41 @@ def test_dynamic_batching_concurrent_requests(server):
         assert len(json.loads(payload)["types"]) == cfg.num_points
 
 
+def test_predict_type_sharded_route(server):
+    """Oversized cloud (4x the compiled num_points) through the sharded
+    trunk route; also the N-not-divisible and wrong-shape 400s."""
+    import jax
+
+    srv, cfg, base = server
+    d = len(jax.devices())
+    big_n = cfg.num_points * 4
+    big_n -= big_n % d
+    rng = np.random.RandomState(7)
+    xyz = rng.uniform(size=(big_n, 3)).astype(np.float32)
+    nrm = rng.normal(size=(big_n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    body = json.dumps({"xyz": xyz.tolist(), "normals": nrm.tolist()}).encode()
+    status, _, payload = _post(base + "/v1/predict_type_sharded", body)
+    assert status == 200, payload
+    res = json.loads(payload)
+    assert len(res["types"]) == big_n
+
+    # npz accept: full per-point tensors
+    status, ctype, payload = _post(base + "/v1/predict_type_sharded", body,
+                                   accept="application/x-npz")
+    assert status == 200 and "npz" in ctype
+    with np.load(io.BytesIO(payload)) as z:
+        assert z["type_per_point"].shape == (big_n, cfg.num_primitives)
+        assert z["embedding"].shape[0] == big_n
+
+    # indivisible N -> 400
+    bad = json.dumps({"xyz": xyz[:big_n - 1].tolist(),
+                      "normals": nrm[:big_n - 1].tolist()}).encode()
+    status, _, payload = _post(base + "/v1/predict_type_sharded", bad)
+    assert status == 400
+    assert "multiple of the device count" in json.loads(payload)["error"]
+
+
 def test_scene_family_server(tmp_path):
     """--family scene serves ScenePredictor: 'feats' aux key, argmaxed
     semantic_preds as the types field."""
