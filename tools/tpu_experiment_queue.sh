@@ -72,6 +72,62 @@ run() {  # run <name> <cmd...>
   echo "--- $name exit=$? ---" | tee -a "$LOG"
 }
 
+runwatch() {  # run <name> <cmd...> with a JSONL stall watchdog
+  # Automates the round-3 operational rule: a long-lived tunnel client can
+  # crawl while fresh clients run full speed (BASELINE.md 2026-08-20), so
+  # when the step's --out JSONL goes GCA_STALL_MIN (default 15) minutes
+  # without a new row, kill the run and restart it ONCE from scratch
+  # (convergence runs are seed-deterministic; the restart re-reaches the
+  # stall point at fresh-client pace).  The cmd must contain "--out <file>".
+  local name=$1; shift
+  local out=""
+  local prev=""
+  for a in "$@"; do [[ "$prev" == "--out" ]] && out=$a; prev=$a; done
+  local stall_s=$(( ${GCA_STALL_MIN:-15} * 60 ))
+  local attempt
+  for attempt in 1 2; do
+    if ! waittpu; then
+      echo "=== $name SKIPPED (deadline while waiting for tpu) ===" \
+        | tee -a "$LOG"
+      return
+    fi
+    local limit="${GCA_STEP_LIMIT:-3600}"
+    if [[ -n "${GCA_QUEUE_DEADLINE:-}" ]]; then
+      local left=$(( GCA_QUEUE_DEADLINE - $(date +%s) ))
+      if (( left < 120 )); then
+        echo "=== $name SKIPPED (deadline) ===" | tee -a "$LOG"; return
+      fi
+      (( left < limit )) && limit=$left
+    fi
+    echo "=== $name (attempt $attempt): $* ===" | tee -a "$LOG"
+    timeout "$limit" "$@" > /tmp/runwatch_$name.log 2>&1 &
+    local pid=$!
+    local stalled=0
+    while kill -0 $pid 2>/dev/null; do
+      sleep 60
+      if [[ -n "$out" && -f "$out" ]]; then
+        local age=$(( $(date +%s) - $(stat -c %Y "$out") ))
+        if (( age > stall_s )); then
+          echo "--- $name STALLED (${age}s since last row) — killing ---" \
+            | tee -a "$LOG"
+          kill $pid 2>/dev/null; sleep 3; kill -9 $pid 2>/dev/null
+          stalled=1
+          break
+        fi
+      fi
+      if [[ -n "${GCA_QUEUE_DEADLINE:-}" ]] \
+          && (( GCA_QUEUE_DEADLINE - $(date +%s) < 0 )); then
+        kill $pid 2>/dev/null
+        break
+      fi
+    done
+    wait $pid 2>/dev/null
+    tail -30 /tmp/runwatch_$name.log | grep -v cpu_aot_loader | tee -a "$LOG"
+    echo "--- $name exit=$? stalled=$stalled ---" | tee -a "$LOG"
+    (( stalled )) || return
+  done
+}
+
 for s in $steps; do case $s in
   health)
     python tools/tpu_health.py || exit 3 ;;
@@ -179,13 +235,13 @@ for s in $steps; do case $s in
     # Collate: python tools/gate_report.py /tmp/conv_j3k_*.jsonl \
     #   --pair j3k_tuned_def=j3k_strict_def --pair j3k_tuned_hard=j3k_strict_hard \
     #   --pair j3k_tuned_hard_s1=j3k_strict_hard_s1 --pair j3k_tuned_def_s1=j3k_strict_def_s1
-    run j3k_strict_def python tools/convergence_run.py --steps 3000 \
+    runwatch j3k_strict_def python tools/convergence_run.py --steps 3000 \
       --nn-nb 80 --recall exact --max-proposals 200 \
       --out /tmp/conv_j3k_strict_def.jsonl
-    run j3k_tuned_def_s1 python tools/convergence_run.py --steps 3000 \
+    runwatch j3k_tuned_def_s1 python tools/convergence_run.py --steps 3000 \
       --seed 1 --nn-nb-inner 32 --max-proposals 100 \
       --out /tmp/conv_j3k_tuned_def_s1.jsonl
-    run j3k_strict_def_s1 python tools/convergence_run.py --steps 3000 \
+    runwatch j3k_strict_def_s1 python tools/convergence_run.py --steps 3000 \
       --seed 1 --nn-nb 80 --recall exact --max-proposals 200 \
       --out /tmp/conv_j3k_strict_def_s1.jsonl ;;
   j3k_hard_s1)
