@@ -100,12 +100,25 @@ runwatch() {  # run <name> <cmd...> with a JSONL stall watchdog
       (( left < limit )) && limit=$left
     fi
     echo "=== $name (attempt $attempt): $* ===" | tee -a "$LOG"
+    # a stale file from a previous killed run must not trip the watchdog
+    # the moment this attempt starts
+    [[ -n "$out" ]] && rm -f "$out"
+    local started=$(date +%s)
     timeout "$limit" "$@" > /tmp/runwatch_$name.log 2>&1 &
     local pid=$!
     local stalled=0
     while kill -0 $pid 2>/dev/null; do
       sleep 60
-      if [[ -n "$out" && -f "$out" ]]; then
+      if [[ -n "$out" && ! -f "$out" ]]; then
+        # no row yet: compile/first-eval grace of 2x the stall budget
+        if (( $(date +%s) - started > 2 * stall_s )); then
+          echo "--- $name NO OUTPUT after $((2 * stall_s))s — killing ---" \
+            | tee -a "$LOG"
+          kill $pid 2>/dev/null; sleep 3; kill -9 $pid 2>/dev/null
+          stalled=1
+          break
+        fi
+      elif [[ -n "$out" && -f "$out" ]]; then
         local age=$(( $(date +%s) - $(stat -c %Y "$out") ))
         if (( age > stall_s )); then
           echo "--- $name STALLED (${age}s since last row) — killing ---" \
