@@ -266,6 +266,68 @@ def test_forward_instance_matches_reference():
                                    err_msg=f"mask row {r}")
 
 
+def test_forward_instance_train_mode_batch_stats():
+    """TRAIN-mode differential: torch BatchNorm1d computes batch statistics
+    over the sparse voxel ROWS; MaskedBatchNorm must reproduce that by
+    masking to active voxels (and the running-stat update conventions must
+    correspond: torch momentum 0.1 == flax-style 0.9)."""
+    ref = load_ref_model_full()
+    ref.train()
+    xyz, cls, sem, offsets, emb, param = _scenario()
+    n = cls.shape[1]
+    pidx, poff = ref_proposals(ref, xyz, sem, offsets, emb, param, "train")
+    n_ref = len(poff) - 1
+    rng = np.random.RandomState(6)
+    feats = rng.randn(n, 64).astype(np.float32)
+    with torch.no_grad():
+        vox_t, inp_map = ref.clusters_voxelization(
+            torch.as_tensor(pidx), torch.as_tensor(poff),
+            torch.as_tensor(feats), torch.as_tensor(xyz.reshape(-1, 3)),
+            scale=G, spatial_shape=G, rand_quantize=False)
+        _, cls_ref, iou_ref, mask_ref = ref.forward_instance(vox_t, inp_map)
+
+    props = ours_proposals(xyz + offsets * 0, cls, emb, param,
+                           GroupingConfig(), 16, False)
+    vx = vox_ops.clusters_voxelization(
+        jnp.asarray(xyz.reshape(-1, 3)), jnp.asarray(feats),
+        jnp.asarray(props.point_pid), num_proposals=16, grid_size=G)
+    head = InstanceHead(num_classes=7, channels=64, grid_size=G,
+                        compute_bf16=False)
+    variables = head.init(jax.random.PRNGKey(0), vx.feats, vx.active,
+                          vx.entry_voxel, jnp.asarray(props.point_pid),
+                          True)
+    sd = {}
+    for name, mod in (("tiny_unet", ref.tiny_unet),
+                      ("tiny_unet_outputlayer", ref.tiny_unet_outputlayer),
+                      ("mask_linear", ref.mask_linear),
+                      ("cls_linear", ref.cls_linear),
+                      ("iou_score_linear", ref.iou_score_linear)):
+        for kk, v in mod.state_dict().items():
+            sd[f"{name}.{kk}"] = v.numpy()
+    params, batch_stats, report = convert_state_dict(
+        sd, {"InstanceHead_0": variables["params"]},
+        {"InstanceHead_0": variables.get("batch_stats", {})}, mode=5)
+    assert not report.unmatched
+    out, _ = head.apply(
+        {"params": params["InstanceHead_0"],
+         "batch_stats": batch_stats["InstanceHead_0"]},
+        vx.feats, vx.active, vx.entry_voxel,
+        jnp.asarray(props.point_pid), True, mutable=["batch_stats"])
+    # empty proposal slots contribute zero-active grids on our side only;
+    # an all-empty proposal has NO voxel rows on the torch side, so the
+    # batch statistics domains coincide exactly (active voxels == rows)
+    np.testing.assert_allclose(np.asarray(out.cls_scores)[:n_ref],
+                               cls_ref.numpy(), atol=5e-3, rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(out.iou_scores)[:n_ref],
+                               iou_ref.numpy(), atol=5e-3, rtol=5e-3)
+    mr = mask_ref.detach().cpu().numpy()
+    mo = np.asarray(out.mask_scores)
+    for r in range(0, pidx.shape[0], 7):
+        np.testing.assert_allclose(mo[0, int(pidx[r, 1])], mr[r],
+                                   atol=5e-3, rtol=5e-3,
+                                   err_msg=f"mask row {r}")
+
+
 def test_full_posttrunk_chain_same_instances():
     """CAPSTONE: the complete post-trunk chain — set-aggregated grouping ->
     clusters_voxelization -> tiny U-Net + heads -> get_instances (with the
