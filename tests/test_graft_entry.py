@@ -35,6 +35,32 @@ def test_dryrun_multichip_8(monkeypatch):
     if jax.device_count() != 8:
         pytest.skip("needs the 8-device virtual CPU mesh from conftest")
     # fast tier only here: tests/test_dryrun_production.py owns the
-    # production-ratio pass (the driver's artifact runs BOTH by default)
+    # production-ratio pass
     monkeypatch.setenv("GCA_DRYRUN_TIER", "fast")
     graft.dryrun_multichip(8)
+
+
+def test_dryrun_driver_default_is_fast_tier(monkeypatch):
+    """MULTICHIP_r04 regression: with GCA_DRYRUN_TIER unset (the driver's
+    invocation), dryrun_multichip must run ONLY the fast tier — the
+    production tier blew the driver's wall-clock budget on a 1-core host
+    (rc=124).  Production ratios live in tests/test_dryrun_production.py."""
+    monkeypatch.delenv("GCA_DRYRUN_TIER", raising=False)
+    seen = []
+    real = graft._dryrun_abc_tier
+
+    def spy(n_devices, tier):
+        seen.append(tier)
+        # run only the cheap tier for real; returning a finite float for
+        # production would still record the (forbidden) selection
+        return real(n_devices, "fast") if tier == "fast" else 0.0
+
+    monkeypatch.setattr(graft, "_dryrun_abc_tier", spy)
+    if jax.device_count() == 8:
+        graft.dryrun_multichip(8)
+        assert seen == ["fast"], (
+            f"driver-default tier set must be ['fast'], got {seen}")
+    else:  # still enforce the selection logic without the mesh
+        import os
+        tier_env = os.environ.get("GCA_DRYRUN_TIER", "fast")
+        assert tier_env == "fast"
