@@ -71,9 +71,14 @@ def main():
     # single-chip headline
     mesh = step_lib.make_mesh(cfg)
     if family == "scene":
+        from gcanet_tpu.config import scene_grouping_defaults
         from gcanet_tpu.models.softgroup_scene import SoftGroupNet
         from gcanet_tpu.train import scene_step
 
+        # scene workload uses the SoftGroup scannetv2 grouping recipe
+        # (score_thr 0.2, npoint_thr on raw sizes, classes 0/1 ignored) —
+        # the ABC constants would drop every scene-scale proposal
+        cfg = cfg.replace(grouping=scene_grouping_defaults(cfg.grouping))
         model = SoftGroupNet(
             cfg, scene_grid=int(os.environ.get("GCA_BENCH_SCENE_GRID", "64")),
             # default follows Config.scene_bf16 (ON since the 2026-08-20
@@ -141,6 +146,10 @@ def main():
     # the matmul-only convention); hbm_util counts compiler-visible bytes
     # (fusion keeps actual traffic at or below it).  Best-effort: older
     # plugins without cost_analysis simply omit the fields.
+    # Compiled.cost_analysis() reports the post-GSPMD PER-DEVICE module
+    # (verified on the 8-device virtual mesh: sharded flops == full/8 —
+    # ADVICE r4 low #4), so per-chip utilisation needs NO device-count
+    # division: each chip performs `flops` work every `step_s`.
     try:
         ca = train_step.lower(state, batch, rng).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -149,9 +158,9 @@ def main():
         flops = float(ca.get("flops", 0.0))
         byts = float(ca.get("bytes accessed", 0.0))
         if flops > 0:
-            row["mfu"] = round(flops / n_dev / step_s / 1.97e14, 4)
+            row["mfu"] = round(flops / step_s / 1.97e14, 4)
         if byts > 0:
-            row["hbm_util"] = round(byts / n_dev / step_s / 8.19e11, 4)
+            row["hbm_util"] = round(byts / step_s / 8.19e11, 4)
     except Exception:
         pass
     print(json.dumps(row))

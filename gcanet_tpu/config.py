@@ -32,6 +32,10 @@ class GroupingConfig:
     # the Python list at dgcnn-4.py:1157 is computed but never passed down.
     class_numpoint_mean: Tuple[float, ...] = (
         -1.0, -1.0, 3917.0, 12056.0, 2303.0, 8331.0, 3948.0, 3166.0, 5629.0, 11719.0)
+    # Scene family (vendored SoftGroup) soft grouping: classes excluded from
+    # clustering (softgroup.py:434 ``ignore_classes`` — e.g. wall/floor on
+    # ScanNet).  Unused by the ABC argmax path.
+    ignore_classes: Tuple[int, ...] = ()
     low_frac: float = 0.05            # kept-fragment lower bound (hierarchical_aggregation.cpp:60)
     high_frac: float = 0.3            # primary threshold (hierarchical_aggregation.cpp:61)
     set_aggr_r_coeff: float = 0.01    # r_set = coeff * sqrt(primary_npoint) (hierarchical_aggregation.cu:51)
@@ -59,6 +63,25 @@ class GroupingConfig:
     # (BASELINE.md round-1 rejects); re-testable at new defaults via
     # GCA_BENCH_GROUP_VMAP=1.
     item_batch_mode: str = "map"
+
+
+def scene_grouping_defaults(base: "GroupingConfig | None" = None
+                            ) -> "GroupingConfig":
+    """Scene-family (vendored SoftGroup) grouping constants.
+
+    The vendored tree ships no YAML configs, so these follow the public
+    SoftGroup scannetv2 recipe: ``score_thr`` 0.2 and ``npoint_thr`` 0.05
+    with ``class_numpoint_mean`` undefined (-1 — bfs_cluster.cpp:88-94 then
+    compares cluster size against the raw threshold), and classes 0/1
+    (wall/floor; the synthetic scenes' ``semantic = cls + 2`` never emits
+    them) excluded from grouping.  The ABC defaults (score_thr 0.45 and the
+    hierarchical_aggregation.cpp:7 mean table, instance sizes in the
+    thousands) would drop every proposal on scene-scale instances.
+    """
+    base = base if base is not None else GroupingConfig()
+    return dataclasses.replace(
+        base, score_thr=0.2, npoint_thr=0.05,
+        class_numpoint_mean=(-1.0,) * 10, ignore_classes=(0, 1))
 
 
 @dataclasses.dataclass
@@ -225,6 +248,12 @@ class Config:
     # parts ([p::4]) as a batch of 4, re-interleave, then group over the
     # full scene.  Test-time only.
     x4_split: bool = False
+    # Scene family grouping semantics.  True = the vendored SoftGroup's SOFT
+    # per-class subsets (``scores > score_thr``, softgroup.py:437 — one point
+    # may join several classes' clusterings; reference-faithful, the paper's
+    # contribution).  False = the ABC-style argmax partition (one clustering
+    # channel; C x cheaper CC).  COMPONENTS.md deviation #7 closure.
+    scene_soft_grouping: bool = True
 
     grouping: GroupingConfig = dataclasses.field(default_factory=GroupingConfig)
     instance_head: InstanceHeadConfig = dataclasses.field(default_factory=InstanceHeadConfig)
@@ -264,18 +293,20 @@ def bench_config() -> Config:
     GCA_BENCH_NN_INNER (unset = Config default; 0 = nn_nb-uniform;
     graph degree for edge convs 2-3),
     GCA_BENCH_CC_PALLAS (unset = auto: pallas on TPU; 1 = pallas int8,
-    2 = pallas32 bit-packed, 0 = xla),
+    0 = xla),
     GCA_BENCH_KNN (unset = Config default; 'xla' = exact lax.top_k,
     'approx:R' = recall-R approx_max_k — the strict-parity line runs 'xla').
     bench.py additionally reads GCA_BENCH_ITERS (10, timed steps),
-    GCA_BENCH_FAMILY (abc | scene) and GCA_BENCH_SCENE_GRID (64).
+    GCA_BENCH_FAMILY (abc | scene), GCA_BENCH_SCENE_GRID (64) and
+    GCA_BENCH_SCENE_SOFT (1 = SoftGroup soft per-class grouping, the scene
+    default; 0 = argmax partition).
     """
     import os
 
     props = int(os.environ.get("GCA_BENCH_PROPOSALS", "0"))
     nn_nb = int(os.environ.get("GCA_BENCH_NN", "0"))
     group_vmap = bool(int(os.environ.get("GCA_BENCH_GROUP_VMAP", "0")))
-    cc_impl = {"1": "pallas", "0": "xla", "2": "pallas32"}.get(
+    cc_impl = {"1": "pallas", "0": "xla"}.get(
         os.environ.get("GCA_BENCH_CC_PALLAS", ""), "auto")
     return Config(
         num_points=int(os.environ.get("GCA_BENCH_POINTS", "8192")),
@@ -289,6 +320,8 @@ def bench_config() -> Config:
         **({"knn_impl": os.environ["GCA_BENCH_KNN"]}
            if "GCA_BENCH_KNN" in os.environ else {}),
         mesh_shape=os.environ.get("GCA_BENCH_MESH", "1"),
+        scene_soft_grouping=bool(int(
+            os.environ.get("GCA_BENCH_SCENE_SOFT", "1"))),
         grouping=GroupingConfig(
             item_batch_mode="vmap" if group_vmap else "map",
             cc_impl=cc_impl),
@@ -371,6 +404,12 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     p("--semantic_only", type=int, default=int(c.semantic_only))
     p("--fixed_modules", type=str, default=c.fixed_modules)
     p("--x4_split", type=int, default=int(c.x4_split))
+    p("--scene_soft_grouping", type=int, default=int(c.scene_soft_grouping),
+      help="scene family: 1 = vendored SoftGroup soft per-class subsets "
+           "(softgroup.py:437, reference-faithful); 0 = argmax partition")
+    p("--ignore_classes", type=str, default="",
+      help="scene family: comma-separated class ids excluded from grouping "
+           "(softgroup.py:434 grouping_cfg.ignore_classes)")
     p("--max_proposals", type=int, default=c.instance_head.max_proposals,
       help="train-time proposal cap (reference parity: 200; TPU default 100)")
     p("--strict_caps", type=int, default=0,
@@ -393,6 +432,18 @@ def config_from_namespace(ns: argparse.Namespace) -> Config:
         c = c.replace(grouping=dataclasses.replace(
             c.grouping, neighbor_cap=3000, absorb_fragment_cap=1000,
             absorb_point_cap=3000))
+    # scene family: swap the ABC grouping constants for the SoftGroup
+    # scannetv2 recipe (an explicit --ignore_classes below still wins)
+    from gcanet_tpu.models.registry import is_scene_model
+
+    if is_scene_model(c.model_dict):
+        c = c.replace(grouping=scene_grouping_defaults(c.grouping))
+    ig = getattr(ns, "ignore_classes", "") or ""
+    if ig.strip():
+        c = c.replace(grouping=dataclasses.replace(
+            c.grouping,
+            ignore_classes=tuple(int(x) for x in ig.split(",") if x.strip())))
+    c = c.replace(scene_soft_grouping=bool(c.scene_soft_grouping))
     return c
 
 

@@ -180,27 +180,42 @@ class SoftGroupNet(fnn.Module):
         if self.semantic_only:
             return SoftGroupOutput(semantic_scores, pt_offsets, None, None)
 
-        cls_argmax = jnp.argmax(semantic_scores.reshape(b, n, num_cls), -1)
         shifted = xyz + pt_offsets.reshape(b, n, 3)
-        # Reference SoftGroup groups by plain radius ball query on the shifted
-        # coords (softgroup.py:forward_grouping -> ballquery_batch_p) — the
-        # affinity gates are GCANet's addition and are meaningless here (the
-        # scene path trains no embedding-similarity objective; a 0.989 cosine
-        # gate on raw backbone features deletes every edge).
-        import dataclasses
+        if cfg.scene_soft_grouping:
+            # Reference-faithful soft grouping (softgroup.py:412-481): one
+            # clustering per non-ignored class over the soft subset
+            # ``softmax(scores)[:, c] > score_thr`` — overlapping membership,
+            # no HAIS (the vendored SoftGroup has none).
+            proposals = grouping_ops.build_soft_proposals(
+                jax.lax.stop_gradient(shifted).astype(jnp.float32),
+                jax.lax.stop_gradient(
+                    semantic_scores.reshape(b, n, num_cls)).astype(
+                        jnp.float32),
+                num_cls,
+                cfg.grouping,
+                max_proposals=cfg.instance_head.max_proposals)
+        else:
+            # ABC-style argmax partition (speed knob --scene_soft_grouping 0).
+            # Plain radius ball query on the shifted coords — the affinity
+            # gates are GCANet's addition and are meaningless here (the scene
+            # path trains no embedding-similarity objective; a 0.989 cosine
+            # gate on raw backbone features deletes every edge).
+            import dataclasses
 
-        gcfg = dataclasses.replace(cfg.grouping,
-                                   similarity_threshold_inst=0.0,
-                                   similarity_threshold_para=0.0)
-        proposals = grouping_ops.build_proposals(
-            jax.lax.stop_gradient(shifted).astype(jnp.float32),
-            cls_argmax.astype(jnp.int32),
-            jax.lax.stop_gradient(pfeat.reshape(b, n, -1)).astype(jnp.float32),
-            jnp.zeros((b, n, 22), jnp.float32),
-            num_cls,
-            gcfg,
-            max_proposals=cfg.instance_head.max_proposals,
-            using_set_aggr=(not train) and cfg.using_set_aggr)
+            cls_argmax = jnp.argmax(semantic_scores.reshape(b, n, num_cls), -1)
+            gcfg = dataclasses.replace(cfg.grouping,
+                                       similarity_threshold_inst=0.0,
+                                       similarity_threshold_para=0.0)
+            proposals = grouping_ops.build_proposals(
+                jax.lax.stop_gradient(shifted).astype(jnp.float32),
+                cls_argmax.astype(jnp.int32),
+                jax.lax.stop_gradient(
+                    pfeat.reshape(b, n, -1)).astype(jnp.float32),
+                jnp.zeros((b, n, 22), jnp.float32),
+                num_cls,
+                gcfg,
+                max_proposals=cfg.instance_head.max_proposals,
+                using_set_aggr=(not train) and cfg.using_set_aggr)
 
         vx = vox_ops.clusters_voxelization(
             xyz.reshape(b * n, 3), pfeat,

@@ -142,15 +142,26 @@ def gated_neighbor_mask(
 
 def connected_components(nbr: jnp.ndarray, max_iters: int = 64,
                          impl: str = "xla") -> jnp.ndarray:
-    """Min-label connected components over a symmetric boolean adjacency.
+    """Min-label propagation over a boolean adjacency (row = out-edges).
 
-    Returns per-point root label = min point index in the component.
+    For the default SYMMETRIC graphs this computes undirected connected
+    components: per-point root label = min point index in the component.
+    Under ``neighbor_cap`` the caller feeds the TRANSPOSED directed capped
+    graph (build_proposals), and the same fixpoint equals the reference
+    BFS's min-reaching-index labels along the original out-edges.  Directed
+    chains propagate one hop per sweep where pointer jumping cannot shortcut
+    (jumps follow label values, which on a directed graph need not be
+    reachable sources), so worst-case depth is O(N) vs O(log N); with the
+    default ``cc_max_iters=64`` budget a directed chain longer than ~64
+    unconverged hops would return silently unconverged labels — acceptable
+    because capped graphs only arise under --strict_caps with cap 3000,
+    where real degree distributions converge in a few sweeps
+    (tests/test_grouping_caps.py fuzzes this against a directed-BFS oracle).
     Replaces the host BFS at hierarchical_aggregation.cpp:11-42.
 
     impl: "auto" (pallas on TPU — adopted round 3, +1.3% end-to-end paired;
-    xla elsewhere), "xla" (select+min reduce per sweep), "pallas" (tiled
-    int8 VMEM sweep) or "pallas32" (bit-packed sweep, 1/8 the HBM traffic;
-    ops/cc_pallas.py — both interpreter-lowered off-TPU).
+    xla elsewhere), "xla" (select+min reduce per sweep) or "pallas" (tiled
+    int8 VMEM sweep; ops/cc_pallas.py — interpreter-lowered off-TPU).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -158,10 +169,6 @@ def connected_components(nbr: jnp.ndarray, max_iters: int = 64,
         from gcanet_tpu.ops import cc_pallas
 
         return cc_pallas.connected_components_pallas(nbr, max_iters)
-    if impl == "pallas32":
-        from gcanet_tpu.ops import cc_pallas
-
-        return cc_pallas.connected_components_pallas32(nbr, max_iters)
     n = nbr.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
 
@@ -358,6 +365,137 @@ def build_proposals(
 
     point_pid = jnp.stack([pid_a, pid_b], axis=0)
     return Proposals(point_pid=point_pid, valid=prop_valid, cls=prop_cls,
+                     batch=prop_batch, size=prop_size, num=num)
+
+
+def build_soft_proposals(
+    shifted: jnp.ndarray,          # [B, N, 3] coords + predicted offsets
+    semantic_logits: jnp.ndarray,  # [B, N, C] raw semantic head outputs
+    num_classes: int,
+    cfg: GroupingConfig,
+    max_proposals: int,
+) -> Proposals:
+    """Scene-family (vendored SoftGroup) grouping with SOFT class subsets.
+
+    Reference semantics (softgroup/model/softgroup.py:412-481):
+
+      * ``semantic_scores.softmax(-1)``; for every class not in
+        ``ignore_classes`` the clustered subset is ``scores[:, c] >
+        score_thr`` (:437) — soft and OVERLAPPING: one point may join
+        several classes' clusterings (the paper's contribution vs argmax).
+      * a class is skipped when its subset has fewer than
+        ``test_cfg.min_npoint`` points across the whole batch (:438).
+      * plain radius ball query on the shifted coords within each batch item
+        (ops/functions.py:93-102 -> ballquery_batch_p; ``mean_active`` is
+        only an allocation hint — the wrapper retries with a larger budget
+        until every neighbour fits (:147-154), so the graph is uncapped).
+      * BFS connected components keep clusters with ``size >= npoint_thr *
+        class_numpoint_mean[c]`` (or plain ``npoint_thr`` when the mean is
+        -1) — bfs_cluster.cpp:79-103.
+      * proposals merge class-major (:433 outer loop); within a class
+        find_cc scans the subset in ascending concatenated-batch index
+        (:87-91), so clusters order by ascending min global point index.
+        Training truncates to the FIRST ``max_proposal_num`` proposals in
+        that order (softgroup.py:133-136) == our top-``max_proposals`` by
+        rank.
+
+    Returns :class:`Proposals` whose ``point_pid`` has ONE CHANNEL PER
+    NON-IGNORED CLASS (shape [C_grouped, B*N]) — every downstream consumer
+    (clusters_voxelization, InstanceHead, instance_loss, mask-IoU) is
+    already channel-generic.  No HAIS/set-aggregation: the vendored
+    SoftGroup has none.
+    """
+    b, n, c_all = shifted.shape[0], shifted.shape[1], semantic_logits.shape[-1]
+    assert c_all == num_classes
+    n_total = b * n
+    grouped = tuple(ci for ci in range(num_classes)
+                    if ci not in tuple(cfg.ignore_classes))
+    gc = len(grouped)
+    assert gc >= 1, "every class is ignored — nothing to group"
+    assert gc * n_total + n_total < 2**31, (
+        f"soft-proposal rank overflows int32 at B={b}, N={n}, C={gc}")
+
+    scores = jax.nn.softmax(semantic_logits, axis=-1)          # [B, N, C]
+    member = scores[..., jnp.asarray(grouped)] > cfg.score_thr  # [B, N, gc]
+    # class skip counts the subset across the WHOLE concatenated batch
+    class_ok = jnp.sum(member, axis=(0, 1)) >= cfg.min_npoint   # [gc]
+
+    mean_all = jnp.full((num_classes,), -1.0, jnp.float32)
+    tbl = jnp.asarray(cfg.class_numpoint_mean, jnp.float32)
+    k = min(num_classes, tbl.shape[0])
+    mean_all = mean_all.at[:k].set(tbl[:k])
+    mean_g = mean_all[jnp.asarray(grouped)]                     # [gc]
+    # bfs_cluster.cpp:88-94: thr = npoint_thr * mean (or npoint_thr if -1)
+    thr_g = jnp.where(mean_g < 0, cfg.npoint_thr, cfg.npoint_thr * mean_g)
+
+    def per_item(args):
+        shifted_i, member_i = args                 # [N, 3], [N, gc]
+        d2 = knn_ops.pairwise_sqdist(shifted_i)
+        geo = (d2 < cfg.radius**2) & ~jnp.eye(n, dtype=bool)
+
+        def per_class(m):                          # m: [N] bool
+            nbr = geo & m[:, None] & m[None, :]
+            labels = connected_components(nbr, cfg.cc_max_iters, cfg.cc_impl)
+            size = jax.ops.segment_sum(m.astype(jnp.int32), labels,
+                                       num_segments=n)[labels]
+            return labels, size
+
+        return jax.lax.map(per_class, member_i.T.astype(bool))
+
+    if cfg.item_batch_mode == "vmap":
+        labels, csize = jax.vmap(per_item)((shifted, member))
+    else:
+        labels, csize = jax.lax.map(per_item, (shifted, member))
+    # labels/csize: [B, gc, N] — per-class component root (min member index
+    # within the item) and member count of that component
+
+    memb = member.transpose(0, 2, 1)                           # [B, gc, N]
+    keep = memb & (csize.astype(jnp.float32) >= thr_g[None, :, None]) \
+        & class_ok[None, :, None]
+
+    # ---- global proposal ordering: (class, global min point index) ----
+    item_base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
+    groot = labels + item_base                                 # [B, gc, N]
+    is_root = memb & (labels == jnp.arange(n, dtype=jnp.int32)[None, None, :])
+    # flatten channel-major [gc, B*N] so channel ci covers class grouped[ci]
+    def chan_flat(x):
+        return x.transpose(1, 0, 2).reshape(gc, n_total)
+    f_keep = chan_flat(keep)
+    f_root = chan_flat(is_root & keep)
+    f_groot = chan_flat(groot)
+    f_size = chan_flat(csize)
+
+    ci_idx = jnp.arange(gc, dtype=jnp.int32)[:, None]
+    rank = (ci_idx * n_total + f_groot).reshape(-1)            # [gc*B*N]
+    rank = jnp.where(f_root.reshape(-1), rank, _BIG_I)
+    p = max_proposals
+    pad = max(0, p - gc * n_total)
+    rank_full = jnp.concatenate(
+        [rank, jnp.full((pad,), _BIG_I, rank.dtype)]) if pad else rank
+    order = jnp.argsort(rank_full)
+    top_valid = rank_full[order[:p]] < _BIG_I
+    top_entry = jnp.minimum(order[:p], gc * n_total - 1).astype(jnp.int32)
+
+    # (channel, groot) -> pid scatter with an overflow slot
+    slot = ((top_entry // n_total) * n_total
+            + f_groot.reshape(-1)[top_entry])                  # canonical key
+    pid_tbl = jnp.full((gc * n_total + 1,), -1, jnp.int32)
+    tgt = jnp.where(top_valid, slot, gc * n_total)
+    pid_tbl = pid_tbl.at[tgt].set(
+        jnp.where(top_valid, jnp.arange(p, dtype=jnp.int32), -1))
+    key = ci_idx * n_total + f_groot                           # [gc, B*N]
+    point_pid = jnp.where(f_keep, pid_tbl[key], -1)
+
+    f_cls = jnp.broadcast_to(
+        jnp.asarray(grouped, jnp.int32)[:, None], (gc, n_total)).reshape(-1)
+    f_batch = jnp.broadcast_to(
+        jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)[None, :],
+        (gc, n_total)).reshape(-1)
+    prop_cls = jnp.where(top_valid, f_cls[top_entry], -1)
+    prop_batch = jnp.where(top_valid, f_batch[top_entry], -1)
+    prop_size = jnp.where(top_valid, f_size.reshape(-1)[top_entry], 0)
+    num = jnp.sum(top_valid.astype(jnp.int32))
+    return Proposals(point_pid=point_pid, valid=top_valid, cls=prop_cls,
                      batch=prop_batch, size=prop_size, num=num)
 
 

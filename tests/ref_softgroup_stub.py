@@ -362,3 +362,85 @@ def get_mask_label(proposals_idx, proposals_offset, instance_labels,
             sl = slice(off[p], off[p + 1])
             out[sl] = (labels[pidx[sl]] == max_ind).astype(np.float32)
     return torch.as_tensor(out)
+
+
+# ----------------------------------------------------------------------------
+# Vendored-SoftGroup (scene family) CUDA-boundary stubs.  The signatures here
+# are the ORIGINAL SoftGroup ones that softgroup/model/softgroup.py:450-459
+# actually calls — functions.py:87-91 (commented original) / bfs_cluster.cpp.
+# (GCANet's modified functions.py:93-104 added affinity args the vendored
+# scene model never passes, so the scene path is exec-run with these.)
+# ----------------------------------------------------------------------------
+
+def softgroup_ball_query(coords, batch_idxs, batch_offsets, radius,
+                         mean_active, with_octree=False):
+    """Original ball_query (functions.py:87-91 -> ballquery_batch_p).
+
+    The python wrapper retries with a grown ``mean_active`` until every
+    neighbour fits (functions.py:147-154), so the result is the COMPLETE
+    radius graph within each batch item in ascending neighbour index order.
+    The CUDA kernel includes the self match (d2=0 passes, bfs_cluster.cu:
+    42-50, no i==j skip); self-loops are BFS-neutral, so they are dropped
+    here.
+    """
+    assert not with_octree
+    xyz = np.asarray(coords.detach().cpu(), np.float32)
+    bidx = np.asarray(batch_idxs.detach().cpu(), np.int64).reshape(-1)
+    n = xyz.shape[0]
+    d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+    ok = ((d2 < radius * radius)
+          & (bidx[:, None] == bidx[None, :])
+          & ~np.eye(n, dtype=bool))
+    idx_rows, lens = [], np.zeros(n, np.int32)
+    for i in range(n):
+        nb = np.nonzero(ok[i])[0]
+        idx_rows.append(nb)
+        lens[i] = len(nb)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int32)
+    start_len = np.stack([starts, lens], axis=1)
+    idx = (np.concatenate(idx_rows) if idx_rows else
+           np.zeros((0,), np.int64)).astype(np.int32)
+    return torch.as_tensor(idx), torch.as_tensor(start_len)
+
+
+def softgroup_bfs_cluster(class_numpoint_mean, ball_query_idxs, start_len,
+                          npoint_thr, class_id):
+    """bfs_cluster (bfs_cluster.cpp:122-155): BFS CCs over the subset graph,
+    keep clusters with size >= npoint_thr * class_numpoint_mean[class_id]
+    (plain npoint_thr when the mean is -1, :88-94); clusters emitted in
+    find_cc scan order (ascending min subset index, :79-103)."""
+    from collections import deque
+
+    idx = np.asarray(ball_query_idxs.detach().cpu(), np.int64)
+    sl = np.asarray(start_len.detach().cpu(), np.int64)
+    means = np.asarray(class_numpoint_mean.detach().cpu(), np.float32)
+    n = sl.shape[0]
+    visited = np.zeros(n, bool)
+    mean = float(means[class_id])
+    thr = npoint_thr if mean == -1.0 else npoint_thr * mean
+    ccs = []
+    for i in range(n):
+        if visited[i]:
+            continue
+        comp = [i]
+        visited[i] = True
+        q = deque([i])
+        while q:
+            cur = q.popleft()
+            s, ln = sl[cur]
+            for j in idx[s:s + ln]:
+                if visited[j]:
+                    continue
+                visited[j] = True
+                comp.append(int(j))
+                q.append(int(j))
+        if len(comp) >= thr:
+            ccs.append(comp)
+    idxs, offsets = [], [0]
+    for ci, comp in enumerate(ccs):
+        offsets.append(offsets[-1] + len(comp))
+        idxs.append(np.stack([np.full(len(comp), ci, np.int64),
+                              np.asarray(comp, np.int64)], 1))
+    idxs = (np.concatenate(idxs, 0) if idxs else np.zeros((0, 2), np.int64))
+    return (torch.as_tensor(idxs.astype(np.int32)),
+            torch.as_tensor(np.asarray(offsets, np.int32)))

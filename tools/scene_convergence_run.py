@@ -36,6 +36,11 @@ def main():
                     help="0 = Config default")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 scene-backbone compute (Config.scene_bf16)")
+    ap.add_argument("--soft", type=int, default=1,
+                    help="1 = SoftGroup soft per-class grouping (scene "
+                         "default, softgroup.py:437); 0 = argmax partition "
+                         "(the round-4 semantics) — the soft-vs-argmax AP "
+                         "convergence A/B")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--eval-scenes", type=int, default=8)
@@ -59,8 +64,14 @@ def main():
     if args.max_proposals:
         kw["instance_head"] = InstanceHeadConfig(
             max_proposals=args.max_proposals)
+    from gcanet_tpu.config import scene_grouping_defaults
+
     cfg = Config(num_points=args.points, batch_size=args.batch,
-                 scene_bf16=args.bf16, **kw)
+                 scene_bf16=args.bf16,
+                 scene_soft_grouping=bool(args.soft),
+                 # SoftGroup scannetv2 grouping recipe (score_thr 0.2,
+                 # npoint_thr on raw sizes, classes 0/1 ignored)
+                 grouping=scene_grouping_defaults(), **kw)
     model = SoftGroupNet(cfg, scene_grid=args.grid,
                          compute_bf16=cfg.scene_bf16)
     tx = step_lib.make_optimizer(cfg)
