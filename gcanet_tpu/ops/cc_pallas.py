@@ -136,96 +136,10 @@ def connected_components_pallas(nbr: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# bit-packed sweep (cc_impl="pallas32"): 8x less HBM traffic than the int8
-# stream — the mask ships as 32 columns per int32 word, packed ONCE per CC
-# call, and the kernel unrolls the 32 bit lanes as arithmetic selects.
-#
-# REJECTED as a default (BASELINE.md round-4, 2026-08-21): isolated A/B
-# 52.6/52.3 ms vs 40.9 ms for the int8 sweep — the sweep is not
+# Tombstone: a bit-packed int32 sweep variant (cc_impl="pallas32", 1/8 the
+# mask HBM traffic) was built and REJECTED round 4 — the sweep is not
 # mask-byte-bound at production N, so the unpack ALU (32 shift+and+select
-# per word) costs more than the saved bytes.  Kept oracle-tested for the
-# record; select via cc_impl="pallas32" / GCA_BENCH_CC_PALLAS=2.
+# per word) cost more than the saved bytes (isolated 52.6 ms vs 40.9 ms
+# int8; e2e -2.6%).  Full numbers: BASELINE.md round-4 rows; code removed
+# round 5 per the non-adopted-perf-code convention (git history has it).
 # ---------------------------------------------------------------------------
-
-
-def _row_tile_packed(n_pad: int, w: int) -> int:
-    return _divisor_tile(n_pad, min(512, _BLOCK_BYTES // (4 * w)), 8)
-
-
-def _sweep_kernel_packed(words_ref, lab_ref, out_ref):
-    words = words_ref[...]                     # [TM, W] int32, bit-packed
-    lab = lab_ref[...]                         # [32, W] int32; lab[b, w] =
-    #                                            labels[32*w + b]
-    acc = jnp.full(words.shape, _BIG_I, jnp.int32)
-    for b in range(32):
-        # (x >> b) & 1 extracts bit b under arithmetic shift too — the sign
-        # fill only touches bits above 0 and the & 1 drops them.
-        bit = jnp.right_shift(words, b) & 1
-        acc = jnp.minimum(acc, bit * lab[b][None, :] + (1 - bit) * _BIG_I)
-    out_ref[...] = jnp.min(acc, axis=1, keepdims=True)
-
-
-def pack_neighbors(nbr_pad: jnp.ndarray) -> jnp.ndarray:
-    """[Np, Np] bool/int8 -> [Np, Np/32] int32 with column j in word j//32
-    bit j%32.  Np must be a multiple of 256 (so W = Np/32 tiles cleanly)."""
-    n_pad = nbr_pad.shape[0]
-    w = n_pad // 32
-    bits = nbr_pad.reshape(n_pad, w, 32).astype(jnp.uint32)
-    shift = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-    words = jnp.sum(bits << shift, axis=-1, dtype=jnp.uint32)
-    return jax.lax.bitcast_convert_type(words, jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def masked_min_sweep_packed(words: jnp.ndarray, labels: jnp.ndarray,
-                            interpret: bool = False) -> jnp.ndarray:
-    """Bit-packed masked_min_sweep: words [Np, W] int32, labels [Np] int32
-    (Np = 32*W); returns [Np] int32 with _BIG_I where no neighbour."""
-    n_pad, w = words.shape
-    tm = _row_tile_packed(n_pad, w)
-    lab_t = labels.reshape(w, 32).T            # [32, W]
-    out = pl.pallas_call(
-        _sweep_kernel_packed,
-        grid=(n_pad // tm,),
-        in_specs=[
-            pl.BlockSpec((tm, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((32, w), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tm, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-        interpret=interpret,
-    )(words, lab_t)
-    return out[:, 0]
-
-
-def connected_components_pallas32(nbr: jnp.ndarray,
-                                  max_iters: int = 64) -> jnp.ndarray:
-    """connected_components with the bit-packed Pallas sweep (cc_impl
-    "pallas32"): identical labels, ~1/8 the per-sweep HBM traffic."""
-    n = nbr.shape[0]
-    n_pad = -(-max(n, _PAD) // _PAD) * _PAD
-    nbr_b = nbr.astype(jnp.bool_)
-    if n_pad != n:
-        nbr_b = jnp.zeros((n_pad, n_pad), jnp.bool_).at[:n, :n].set(nbr_b)
-    words = pack_neighbors(nbr_b)
-    interpret = _use_interpret()
-    idx = jnp.arange(n_pad, dtype=jnp.int32)
-
-    def body(state):
-        labels, _, it = state
-        nbr_min = masked_min_sweep_packed(words, labels, interpret=interpret)
-        new = jnp.minimum(labels, nbr_min)
-        new = jnp.minimum(new, new[new])
-        new = jnp.minimum(new, new[new])
-        changed = jnp.any(new != labels)
-        return new, changed, it + 1
-
-    def cond(state):
-        _, changed, it = state
-        return changed & (it < max_iters)
-
-    labels, _, _ = jax.lax.while_loop(cond, body, (idx, jnp.bool_(True), 0))
-    return labels[:n]

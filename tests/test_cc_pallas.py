@@ -69,8 +69,6 @@ def test_row_tiles_divide_n_pad():
         n_pad = 256 * m
         tm = cc_pallas._row_tile(n_pad)
         assert n_pad % tm == 0 and tm % 32 == 0, (n_pad, tm)
-        tmp = cc_pallas._row_tile_packed(n_pad, n_pad // 32)
-        assert n_pad % tmp == 0 and tmp % 8 == 0, (n_pad, tmp)
 
 
 def test_impl_dispatch_equivalence():
@@ -92,68 +90,3 @@ def test_masked_min_sweep_values():
     assert out[0] == 30                     # min(10*3, 20*3)
     assert out[5] == 255 * 3
     assert out[1] == cc_pallas._BIG_I       # no neighbours
-
-
-@pytest.mark.parametrize("n,p,seed", [
-    (10, 0.3, 0),
-    (300, 0.02, 1),
-    (257, 0.0, 2),
-    (512, 0.01, 3),
-    (600, 0.02, 4),     # n_pad=768: ADVICE r3 tail-tile drop regression
-    (2100, 0.005, 5),   # n_pad=2304
-])
-def test_pallas32_cc_matches_oracle(n, p, seed):
-    a = _random_graph(n, p, seed)
-    want = _oracle_labels(a)
-    got = np.asarray(cc_pallas.connected_components_pallas32(jnp.asarray(a)))
-    np.testing.assert_array_equal(got, want)
-
-
-def test_pallas32_chain_worst_case():
-    n = 300
-    a = np.zeros((n, n), bool)
-    idx = np.arange(n - 1)
-    a[idx, idx + 1] = True
-    a = a | a.T
-    got = np.asarray(cc_pallas.connected_components_pallas32(jnp.asarray(a)))
-    np.testing.assert_array_equal(got, np.zeros(n, np.int64))
-
-
-def test_pack_neighbors_bits():
-    # every column lands in word j//32 bit j%32, incl. bit 31 (sign bit)
-    n = 256
-    a = np.zeros((n, n), bool)
-    cols = [0, 1, 31, 32, 63, 255]
-    for j in cols:
-        a[3, j] = True
-    words = np.asarray(cc_pallas.pack_neighbors(jnp.asarray(a)))
-    assert words.shape == (n, n // 32)
-    got = set()
-    for w in range(n // 32):
-        word = np.uint32(words[3, w])
-        for b in range(32):
-            if (int(word) >> b) & 1:
-                got.add(32 * w + b)
-    assert got == set(cols)
-    assert (words[4] == 0).all()
-
-
-def test_packed_sweep_matches_int8_sweep():
-    rng = np.random.default_rng(11)
-    n = 512
-    a = (rng.random((n, n)) < 0.02)
-    labels = jnp.asarray(rng.integers(0, 1 << 20, n), jnp.int32)
-    ref = np.asarray(cc_pallas.masked_min_sweep(
-        jnp.asarray(a, jnp.int8), labels, interpret=True))
-    words = cc_pallas.pack_neighbors(jnp.asarray(a))
-    got = np.asarray(cc_pallas.masked_min_sweep_packed(
-        words, labels, interpret=True))
-    np.testing.assert_array_equal(got, ref)
-
-
-def test_pallas32_dispatch_equivalence():
-    a = _random_graph(400, 0.015, 7)
-    via_xla = np.asarray(connected_components(jnp.asarray(a), impl="xla"))
-    via_p32 = np.asarray(connected_components(jnp.asarray(a),
-                                              impl="pallas32"))
-    np.testing.assert_array_equal(via_xla, via_p32)

@@ -263,14 +263,33 @@ for s in $steps; do case $s in
     run j3k_strict_hard_s1 python tools/convergence_run.py --steps 3000 \
       --hard --seed 1 --nn-nb 80 --recall exact --max-proposals 200 \
       --out /tmp/conv_j3k_strict_hard_s1b.jsonl ;;
-  cc_pallas32)
-    # VERDICT r3 item 3: decide the bit-packed sweep (cc_impl=pallas32,
-    # 9fa4563).  Isolated CC first, then paired end-to-end vs the adopted
-    # pallas default.  Adopt into cc_impl="auto" on TPU if both win.
-    run cc32_iso   env GCA_BENCH_CC_PALLAS=2 python tools/micro_bench.py cc
-    run cc8_iso    env GCA_BENCH_CC_PALLAS=1 python tools/micro_bench.py cc
-    run cc32_bench env GCA_BENCH_CC_PALLAS=2 python bench.py
-    run cc8_bench  env GCA_BENCH_CC_PALLAS=1 python bench.py ;;
+  scene_soft)
+    # Round-5 deviation-#7 closure: SOFT per-class grouping is the new scene
+    # default (softgroup.py:437 semantics) — measure its cost vs the argmax
+    # partition, same B, same hour.
+    run scene_soft_b4   env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 python bench.py
+    run scene_argmax_b4 env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 \
+      GCA_BENCH_SCENE_SOFT=0 python bench.py ;;
+  scene_soft_conv)
+    # soft-vs-argmax AP convergence gate (VERDICT r4 item 2: "AP not
+    # degraded vs argmax"): same seed/steps/defaults, only grouping differs
+    runwatch scene_conv_soft python tools/scene_convergence_run.py \
+      --steps 1500 --bf16 --out /tmp/scene_conv_soft_s0.jsonl
+    runwatch scene_conv_argmax python tools/scene_convergence_run.py \
+      --steps 1500 --bf16 --soft 0 --out /tmp/scene_conv_argmax_s0.jsonl ;;
+  j3k_close)
+    # VERDICT r4 item 4: the LAST missing tuned-defaults cells —
+    # strict_def_s1 (never ran) and a strict_def full-3000 re-run (r4's was
+    # stall-killed at step 2500).
+    runwatch j3k_strict_def_s1 python tools/convergence_run.py --steps 3000 \
+      --seed 1 --nn-nb 80 --recall exact --max-proposals 200 \
+      --out /tmp/conv_j3k_strict_def_s1.jsonl
+    runwatch j3k_strict_def_r5 python tools/convergence_run.py --steps 3000 \
+      --nn-nb 80 --recall exact --max-proposals 200 \
+      --out /tmp/conv_j3k_strict_def_r5.jsonl ;;
+  # (cc_pallas32 step removed round 5: the bit-packed sweep was REJECTED
+  # round 4 — isolated 52.6 vs 40.9 ms, e2e -2.6% — and its code deleted;
+  # BASELINE.md round-4 rows keep the record.)
   cc_pallas)
     # Pallas tiled CC sweep vs the XLA select+min sweep (ops/cc_pallas.py).
     # Stage-level A/B first (CC in isolation), then end-to-end.
