@@ -78,6 +78,14 @@ def _dense_gn(p, x, groups, axis, d):
     return _gn_sharded(p["GroupNorm_0"], h, groups, axis, d)
 
 
+# (mesh, axis, cfg knobs the traced program reads) -> jitted fn.  Without
+# this every serving request re-built a fresh jit-wrapped shard_map closure,
+# re-tracing and re-querying the compilation cache through the slow TPU
+# tunnel per request while holding the server's dispatch lock (ADVICE r4
+# medium); with it, repeated N hit jit's own in-memory shape cache.
+_type_fn_cache: dict = {}
+
+
 def make_sharded_type_fn(cfg: Config, mesh: Mesh, axis: str = "data"):
     """Build ``fn(params, x6) -> (type_per_point, param_per_point, emb)``
     with ``x6 [N, 6]`` sharded along N over ``mesh``'s ``axis``.
@@ -85,8 +93,21 @@ def make_sharded_type_fn(cfg: Config, mesh: Mesh, axis: str = "data"):
     ``params`` is the PrimitiveNet param tree (the same one the Predictor
     restores); only the encoder/trunk/head subtrees are read.  N must be a
     multiple of the mesh size.  Exact math (exact ring kNN — the approx
-    search is a single-chip layout optimisation).
+    search is a single-chip layout optimisation).  Memoized per
+    (mesh, axis, traced cfg knobs); repeated calls return the same jitted
+    callable.
     """
+    # The traced program hard-codes the mode==5 param layout (DenseGN_4
+    # embedding head, posnormal layer-1 metric, 6-wide input) and per-layer
+    # dynamic graphs; other configs would silently read the wrong param
+    # subtrees and return wrong outputs (ADVICE r4).
+    assert cfg.mode == 5 and not cfg.shared_graph, (
+        "sharded trunk supports only mode==5 without shared_graph "
+        f"(got mode={cfg.mode}, shared_graph={cfg.shared_graph})")
+    key = (mesh, axis, cfg.nn_nb, cfg.nn_nb_inner, cfg.loss_class)
+    cached = _type_fn_cache.get(key)
+    if cached is not None:
+        return cached
     d = mesh.shape[axis]
     k = cfg.nn_nb
     k2 = min(cfg.nn_nb_inner, k) if cfg.nn_nb_inner else k
@@ -156,7 +177,9 @@ def make_sharded_type_fn(cfg: Config, mesh: Mesh, axis: str = "data"):
         in_specs=(P(), P(axis)),
         out_specs=(P(axis), P(axis), P(axis)),
         check_vma=False)
-    return jax.jit(sharded)
+    fn = jax.jit(sharded)
+    _type_fn_cache[key] = fn
+    return fn
 
 
 def predict_type_sharded(cfg: Config, params, xyz, normals,

@@ -74,8 +74,28 @@ def main():
                 out = pred._forward(pred.state.params, pred.state.batch_stats,
                                     xx, nn)
             float(out.semantic_scores.sum())
+            dt_dev = time.perf_counter() - t0
             emit(f"serve_forward_clouds_per_sec_b{label}",
-                 xx.shape[0] * args.iters, time.perf_counter() - t0)
+                 xx.shape[0] * args.iters, dt_dev)
+            # Relay-RTT decomposition (VERDICT r4 item 6): the loop above
+            # dispatches back-to-back and syncs ONCE, so it measures
+            # device-bound time; fetching the full semantic tensor every
+            # iteration adds the tunnel's per-result transfer.  The delta
+            # quantifies how tunnel-bound each serving mode's number is
+            # (local-host TPU serving pays only the device slice).
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = pred._forward(pred.state.params, pred.state.batch_stats,
+                                    xx, nn)
+                np.asarray(out.semantic_scores)    # full result over the relay
+            dt_tot = time.perf_counter() - t0
+            per = xx.shape[0] * args.iters
+            print(json.dumps({
+                "metric": f"serve_forward_decomp_b{label}",
+                "device_ms_per_cloud": round(1e3 * dt_dev / per, 2),
+                "fetch_ms_per_cloud": round(1e3 * (dt_tot - dt_dev) / per, 2),
+                "unit": "ms",
+            }), flush=True)
 
     if "predict" in paths:
         pred.predict(xyz[0], nrm[0])               # compile + warm
