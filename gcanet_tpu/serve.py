@@ -309,39 +309,48 @@ class ScenePredictor:
             out = model.apply({"params": params, "batch_stats": batch_stats},
                               xyz, feats, train=False,
                               rng=jax.random.PRNGKey(0))
-            merged, keep, conf, npoint, covered = \
-                inst_utils.merged_labels_device(
-                    out.proposals.point_pid, out.instance.cls_scores,
-                    out.instance.iou_scores, out.instance.mask_scores,
-                    out.proposals.valid, cfg.num_primitives)
+            # NON-merged overlapping masks — the reference's forward_test
+            # emits independent scored masks (softgroup.py:537-604) and soft
+            # grouping makes overlap inherent; the ABC merge would truncate
+            # every overlapped mask (BASELINE.md round-5 AP evidence)
+            keep, conf, npoint, masks = inst_utils.instance_masks_device(
+                out.proposals.point_pid, out.instance.cls_scores,
+                out.instance.iou_scores, out.instance.mask_scores,
+                out.proposals.valid, cfg.num_primitives)
             sem_pred = jnp.argmax(out.semantic_scores, axis=-1)
-            return (merged, keep, conf, npoint, covered,
+            return (keep, conf, npoint, masks,
                     out.proposals.batch, sem_pred, out.pt_offsets)
 
         self._forward_fast = _forward_fast
 
     def _finalize_batch(self, dev, b: int, n: int):
-        (merged, keep, conf, npoint, covered, prop_batch, sem_pred,
+        (keep, conf, npoint, masks, prop_batch, sem_pred,
          off) = jax.device_get(dev)
-        merged = merged.reshape(b, n)
-        covered = covered.reshape(b, n)
         sem_pred = sem_pred.reshape(b, n)
         off = off.reshape(b, n, 3)
         bg_label = (self.cfg.num_primitives - 1) + self.cls_offset
 
         results = []
         for bi in range(b):
-            preds = inst_utils.instances_from_merged(
-                merged[bi], keep, conf, npoint, covered[bi],
+            preds = inst_utils.instances_from_masks(
+                keep, conf, npoint, masks[:, bi * n:(bi + 1) * n, :],
                 prop_mask=(prop_batch == bi), label_offset=self.cls_offset)
             # background-column predictions (instance class C-1) filtered
             # exactly as SceneTrainer.test_one_epoch does
             preds = [p for p in preds if p["label_id"] < bg_label]
+            # per-point convenience labels from the overlapping masks:
+            # higher-confidence instance wins a contested point, 0 = none
+            # (a flat labeling cannot express overlap; `instances` can)
+            labels = np.zeros(n, np.int32)
+            for rank1, p in sorted(enumerate(preds, start=1),
+                                   key=lambda t: t[1]["conf"]):
+                labels[inst_utils.rle_decode(p["pred_mask"]).astype(bool)] \
+                    = rank1
             results.append({
                 "semantic_preds": sem_pred[bi],
                 "pt_offsets": off[bi],
                 "instances": preds,
-                "instance_labels": merged[bi],
+                "instance_labels": labels,
             })
         return results
 

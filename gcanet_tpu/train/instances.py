@@ -146,6 +146,82 @@ def merged_labels_device(point_pid: jnp.ndarray,      # [CH, N] int32
     return merged.astype(jnp.int32), keep, conf, npoint, covered
 
 
+def instance_masks_device(point_pid: jnp.ndarray,      # [CH, N] int32
+                          cls_scores: jnp.ndarray,     # [P, C] logits
+                          iou_scores: jnp.ndarray,     # [P, C]
+                          mask_scores: jnp.ndarray,    # [CH, N, C]
+                          prop_valid: jnp.ndarray,     # [P] bool
+                          instance_classes: int,
+                          cls_score_thr: float = 0.45,
+                          mask_score_thr: float = -3.0,
+                          min_npoint: int = 150):
+    """Device-side ``get_instances`` WITHOUT cross-instance merging.
+
+    The scene family (vendored SoftGroup) evaluates INDEPENDENT, possibly
+    overlapping instance masks (softgroup.py:537-604 emits one mask per
+    kept (class, proposal) pair; nothing ever merges them) — and under soft
+    grouping overlap is inherent: one point may belong to several classes'
+    proposals.  The ABC merge (``merged_labels_device`` argmin /
+    ``merge_masks`` argmax, dgcnn-4.py:975-999) truncates every overlapped
+    mask, which measured as an AP50 drop of ~0.24 on the soft scene A/B
+    (BASELINE.md round-5) — so scene evaluation uses this path.
+
+    Returns ``(keep [P, CI] bool, conf [P, CI] f32, npoint [P, CI] i32,
+    masks [P, N, CI] bool)``; ``masks[p, :, i]`` is the mask the reference
+    would emit for proposal p under class i (union over assignment channels
+    of ``pid == p`` entries passing the class-i mask threshold).  The fetch
+    is ~P*N*CI bytes — bigger than the merged path's [N], so serving keeps
+    the merged per-point labels; evaluation pays the fetch for parity.
+    """
+    ch, n = point_pid.shape
+    p, _ = cls_scores.shape
+    ci = instance_classes
+    cls_soft = jax.nn.softmax(cls_scores, axis=1)[:, :ci]          # [P, CI]
+
+    passes = (point_pid >= 0)[..., None] & \
+        (mask_scores[..., :ci] > mask_score_thr)                   # [CH, N, CI]
+    pid_safe = jnp.where(point_pid >= 0, point_pid, p)             # [CH, N]
+    ids = pid_safe * n + jnp.arange(n, dtype=jnp.int32)[None, :]   # [CH, N]
+    masks = jax.ops.segment_max(
+        passes.reshape(ch * n, ci).astype(jnp.int32),
+        ids.reshape(-1), num_segments=(p + 1) * n)[: p * n]
+    # empty segments fill with int32 min (segment_max identity), which a
+    # bool cast would read as True — compare against the 0/1 payload instead
+    masks = (masks > 0).reshape(p, n, ci)
+
+    npoint = jnp.sum(masks, axis=1).astype(jnp.int32)              # [P, CI]
+    keep = (prop_valid[:, None] & (cls_soft > cls_score_thr)
+            & (npoint >= min_npoint))
+    conf = cls_soft * jnp.clip(iou_scores[:, :ci], 0, 1)
+    return keep, conf, npoint, masks
+
+
+def instances_from_masks(keep: np.ndarray,         # [P, CI] bool
+                         conf: np.ndarray,         # [P, CI]
+                         npoint: np.ndarray,       # [P, CI]
+                         masks: np.ndarray,        # [P, N, CI] bool
+                         prop_mask: np.ndarray | None = None,  # [P] filter
+                         label_offset: int = 1,
+                         encode_rle: bool = True) -> List[Dict]:
+    """Host-side instance list from ``instance_masks_device`` outputs —
+    independent overlapping masks, class-major/proposal-minor order."""
+    p, ci = keep.shape
+    preds: List[Dict] = []
+    for i in range(ci):
+        for pp in np.nonzero(keep[:, i])[0]:
+            if prop_mask is not None and not prop_mask[pp]:
+                continue
+            mask = masks[pp, :, i]
+            preds.append({
+                "label_id": i + label_offset,
+                "conf": float(conf[pp, i]),
+                "npoint": int(npoint[pp, i]),
+                "pred_mask" if encode_rle else "mask":
+                    rle_encode(mask) if encode_rle else mask,
+            })
+    return preds
+
+
 def instances_from_merged(merged: np.ndarray,      # [N] ranks (0 = also bg)
                           keep: np.ndarray,        # [P, CI] bool
                           conf: np.ndarray,        # [P, CI]

@@ -71,13 +71,16 @@ class SceneTrainer(Trainer):
                     {"params": params, "batch_stats": batch_stats},
                     xyz, feats, train=False, rng=jax.random.PRNGKey(0),
                     x4_split=x4)
-                merged, keep, conf, npoint, covered = \
-                    inst_utils.merged_labels_device(
+                # NON-merged overlapping masks: SoftGroup eval semantics
+                # (softgroup.py:537-604) — required under soft grouping,
+                # where one point may live in several classes' proposals
+                keep, conf, npoint, masks = \
+                    inst_utils.instance_masks_device(
                         out.proposals.point_pid, out.instance.cls_scores,
                         out.instance.iou_scores, out.instance.mask_scores,
                         out.proposals.valid, cfg.num_primitives)
                 sem_pred = jnp.argmax(out.semantic_scores, axis=-1)
-                return merged, keep, conf, npoint, covered, sem_pred
+                return keep, conf, npoint, masks, sem_pred
 
         self.eval_step = eval_step
         self.start_epoch = 0
@@ -208,8 +211,7 @@ class SceneTrainer(Trainer):
             if semantic_only:
                 sem_pred = jax.device_get(dev)
             else:
-                merged, keep, conf, npoint, covered, sem_pred = \
-                    jax.device_get(dev)
+                keep, conf, npoint, masks, sem_pred = jax.device_get(dev)
             gt_sem = np.asarray(batch["semantic"][0])
             gt_inst = np.asarray(batch["instance"][0])
 
@@ -220,12 +222,10 @@ class SceneTrainer(Trainer):
                 sem_stats[k] = sem_stats.get(k, 0.0) + v
 
             if not semantic_only:
-                # ranks must come from the full keep table; background-column
-                # predictions (instance class C-1, the loss's background
-                # label) are filtered afterwards so ranks stay aligned with
-                # merged
-                preds = inst_utils.instances_from_merged(
-                    merged, keep, conf, npoint, covered,
+                # background-column predictions (instance class C-1, the
+                # loss's background label) are filtered after extraction
+                preds = inst_utils.instances_from_masks(
+                    keep, conf, npoint, masks,
                     label_offset=self.cls_offset, encode_rle=False)
                 bg_label = (cfg.num_primitives - 1) + self.cls_offset
                 preds = [pr for pr in preds if pr["label_id"] < bg_label]

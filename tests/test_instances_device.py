@@ -114,3 +114,53 @@ def test_instances_from_merged_matches_host_masks():
         # device partition assigns each covered point to its argmax-order
         # instance; every device-mask point must be inside the host mask
         assert not (dev_mask & ~host_mask).any()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("dup", [False, True])
+def test_instance_masks_device_matches_host(seed, dup):
+    """Non-merged extraction (scene family, soft grouping): the device masks
+    must equal the host get_instances masks BIT FOR BIT — incl. overlapping
+    masks, which the merged path truncates by design."""
+    ci = 7
+    args = _random_case(seed, dup_channels=dup)
+    point_pid, cls_scores, iou_scores, mask_scores, prop_valid = args
+    sem = np.zeros((point_pid.shape[1], 7), np.float32)
+    host = I.get_instances(point_pid, sem, cls_scores, iou_scores,
+                           mask_scores, prop_valid, ci, min_npoint=10)
+
+    keep, conf, npoint, masks = I.instance_masks_device(
+        *[np.asarray(a) for a in args], ci, min_npoint=10)
+    preds = I.instances_from_masks(np.asarray(keep), np.asarray(conf),
+                                   np.asarray(npoint), np.asarray(masks))
+    assert len(preds) == len(host)
+    for ours, ref in zip(preds, host):
+        assert ours["label_id"] == ref["label_id"]
+        assert abs(ours["conf"] - ref["conf"]) < 1e-5
+        assert ours["pred_mask"] == ref["pred_mask"]
+
+
+def test_instance_masks_overlap_preserved():
+    """An explicitly overlapping pair (one point set in two classes'
+    channels): BOTH full masks survive in the non-merged path."""
+    n, p, c = 30, 4, 3
+    point_pid = -np.ones((2, n), np.int32)
+    point_pid[0, :20] = 0                 # proposal 0 (class-0 channel)
+    point_pid[1, 5:25] = 1                # proposal 1 (class-1 channel), overlaps
+    cls_scores = np.full((p, c), -5.0, np.float32)
+    cls_scores[0, 0] = 5.0
+    cls_scores[1, 1] = 5.0
+    iou_scores = np.ones((p, c), np.float32)
+    mask_scores = np.full((2, n, c), 10.0, np.float32)
+    prop_valid = np.array([True, True, False, False])
+    keep, conf, npoint, masks = I.instance_masks_device(
+        point_pid, cls_scores, iou_scores, mask_scores, prop_valid, c,
+        min_npoint=5)
+    preds = I.instances_from_masks(np.asarray(keep), np.asarray(conf),
+                                   np.asarray(npoint), np.asarray(masks),
+                                   encode_rle=False)
+    assert len(preds) == 2
+    m0 = preds[0]["mask"]
+    m1 = preds[1]["mask"]
+    assert m0.sum() == 20 and m1.sum() == 20          # full masks, no theft
+    assert (m0 & m1).sum() == 15                      # overlap intact

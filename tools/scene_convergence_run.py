@@ -83,12 +83,14 @@ def main():
     def eval_step(params, batch_stats, xyz, feats):
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           xyz, feats, train=False, rng=jax.random.PRNGKey(0))
-        merged, keep, conf, npoint, covered = inst_utils.merged_labels_device(
+        # NON-merged overlapping masks (SoftGroup get_instances semantics,
+        # softgroup.py:537-604) — the ABC merge truncates soft overlaps
+        keep, conf, npoint, masks = inst_utils.instance_masks_device(
             out.proposals.point_pid, out.instance.cls_scores,
             out.instance.iou_scores, out.instance.mask_scores,
             out.proposals.valid, cfg.num_primitives)
         sem_pred = jnp.argmax(out.semantic_scores, axis=-1)
-        return merged, keep, conf, npoint, covered, sem_pred
+        return keep, conf, npoint, masks, sem_pred
 
     ecfg = cfg.replace(batch_size=1)
     eval_batches = [synth_scene_batch(ecfg, 1, seed=90000 + i)
@@ -107,15 +109,15 @@ def main():
         scenes, miou_sum, acc_sum = [], 0.0, 0.0
         for b, (xyz, feats) in zip(eval_batches, eval_dev):
             dev = eval_step(state.params, state.batch_stats, xyz, feats)
-            merged, keep, conf, npoint, covered, sem_pred = jax.device_get(dev)
+            keep, conf, npoint, masks, sem_pred = jax.device_get(dev)
             gt_sem = np.asarray(b["semantic"][0])
             pw = instance_eval.pointwise_semantic_eval(
                 sem_pred[0] if sem_pred.ndim > 1 else sem_pred, gt_sem,
                 cfg.num_primitives, ignore_label=-100)
             miou_sum += pw["miou"]
             acc_sum += pw["acc"]
-            preds = inst_utils.instances_from_merged(
-                merged, keep, conf, npoint, covered,
+            preds = inst_utils.instances_from_masks(
+                keep, conf, npoint, masks,
                 label_offset=cls_offset, encode_rle=False)
             bg_label = (cfg.num_primitives - 1) + cls_offset
             preds = [p for p in preds if p["label_id"] < bg_label]
