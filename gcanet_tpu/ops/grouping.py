@@ -432,6 +432,24 @@ def build_soft_proposals(
         shifted_i, member_i = args                 # [N, 3], [N, gc]
         d2 = knn_ops.pairwise_sqdist(shifted_i)
         geo = (d2 < cfg.radius**2) & ~jnp.eye(n, dtype=bool)
+        memb = member_i.T.astype(bool)             # [gc, N]
+
+        if cfg.soft_cc_impl != "per_class":
+            # fused multi-class CC: ONE pass over the [N, N] geo mask per
+            # sweep serves all gc classes (membership encoded in the label
+            # init) instead of gc separate masked sweeps — 1/gc the sweep
+            # HBM traffic (ops/cc_pallas.py::connected_components_multi)
+            from gcanet_tpu.ops import cc_pallas
+
+            labels = cc_pallas.connected_components_multi(
+                geo, memb, cfg.cc_max_iters, impl=cfg.soft_cc_impl)
+            # restore the own-index convention for non-members (the multi
+            # kernel leaves the _BIG_I sentinel there)
+            labels = jnp.where(memb, labels,
+                               jnp.arange(n, dtype=jnp.int32)[None, :])
+            size = jax.vmap(lambda lab, m: jax.ops.segment_sum(
+                m.astype(jnp.int32), lab, num_segments=n)[lab])(labels, memb)
+            return labels, size
 
         def per_class(m):                          # m: [N] bool
             nbr = geo & m[:, None] & m[None, :]
@@ -440,7 +458,7 @@ def build_soft_proposals(
                                        num_segments=n)[labels]
             return labels, size
 
-        return jax.lax.map(per_class, member_i.T.astype(bool))
+        return jax.lax.map(per_class, memb)
 
     if cfg.item_batch_mode == "vmap":
         labels, csize = jax.vmap(per_item)((shifted, member))
