@@ -270,6 +270,13 @@ for s in $steps; do case $s in
     run scene_soft_b4   env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 python bench.py
     run scene_argmax_b4 env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 \
       GCA_BENCH_SCENE_SOFT=0 python bench.py ;;
+  scene_soft_cc)
+    # Fused multi-class CC A/B (commit b70abae): one geo-mask pass serves
+    # all classes' label propagation.  Adopt soft_cc_impl="auto" on a win.
+    run soft_cc_multi env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 \
+      GCA_BENCH_SOFT_CC=auto python bench.py
+    run soft_cc_ctrl  env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 \
+      python bench.py ;;
   scene_soft_conv)
     # soft-vs-argmax AP convergence gate (VERDICT r4 item 2: "AP not
     # degraded vs argmax"): same seed/steps/defaults, only grouping differs
