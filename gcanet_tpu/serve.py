@@ -318,14 +318,16 @@ class ScenePredictor:
                 out.instance.iou_scores, out.instance.mask_scores,
                 out.proposals.valid, cfg.num_primitives)
             sem_pred = jnp.argmax(out.semantic_scores, axis=-1)
-            return (keep, conf, npoint, masks,
+            # bit-packed masks: 8x smaller fetch on the ~31 MB/s tunnel
+            return (keep, conf, npoint, inst_utils.pack_mask_bits(masks),
                     out.proposals.batch, sem_pred, out.pt_offsets)
 
         self._forward_fast = _forward_fast
 
     def _finalize_batch(self, dev, b: int, n: int):
-        (keep, conf, npoint, masks, prop_batch, sem_pred,
+        (keep, conf, npoint, mask_bits, prop_batch, sem_pred,
          off) = jax.device_get(dev)
+        masks = inst_utils.unpack_mask_bits(mask_bits, b * n)
         sem_pred = sem_pred.reshape(b, n)
         off = off.reshape(b, n, 3)
         bg_label = (self.cfg.num_primitives - 1) + self.cls_offset

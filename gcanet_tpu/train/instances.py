@@ -196,6 +196,29 @@ def instance_masks_device(point_pid: jnp.ndarray,      # [CH, N] int32
     return keep, conf, npoint, masks
 
 
+def pack_mask_bits(masks: jnp.ndarray) -> jnp.ndarray:
+    """Device-side bit-pack of ``instance_masks_device`` masks for the
+    fetch-bound tunnel: [P, N, CI] bool -> [P, CI, ceil(N/8)] uint8
+    (little-endian bit order, ``np.unpackbits(..., bitorder='little')``
+    inverts).  8x smaller device->host transfer for serving."""
+    p, n, ci = masks.shape
+    n8 = -(-n // 8) * 8
+    m = jnp.transpose(masks, (0, 2, 1))                   # [P, CI, N]
+    if n8 != n:
+        m = jnp.concatenate(
+            [m, jnp.zeros((p, ci, n8 - n), bool)], axis=-1)
+    m = m.reshape(p, ci, n8 // 8, 8).astype(jnp.uint32)
+    w = (1 << jnp.arange(8, dtype=jnp.uint32))
+    return jnp.sum(m * w, axis=-1).astype(jnp.uint8)
+
+
+def unpack_mask_bits(bits: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of :func:`pack_mask_bits` on host: [P, CI, ceil(N/8)] uint8
+    -> [P, N, CI] bool."""
+    unpacked = np.unpackbits(bits, axis=-1, bitorder="little")[..., :n]
+    return np.ascontiguousarray(unpacked.transpose(0, 2, 1)).astype(bool)
+
+
 def instances_from_masks(keep: np.ndarray,         # [P, CI] bool
                          conf: np.ndarray,         # [P, CI]
                          npoint: np.ndarray,       # [P, CI]

@@ -80,7 +80,9 @@ class SceneTrainer(Trainer):
                         out.instance.iou_scores, out.instance.mask_scores,
                         out.proposals.valid, cfg.num_primitives)
                 sem_pred = jnp.argmax(out.semantic_scores, axis=-1)
-                return keep, conf, npoint, masks, sem_pred
+                # bit-packed: 8x smaller fetch (real scenes are ~250k pts)
+                return (keep, conf, npoint,
+                        inst_utils.pack_mask_bits(masks), sem_pred)
 
         self.eval_step = eval_step
         self.start_epoch = 0
@@ -211,7 +213,10 @@ class SceneTrainer(Trainer):
             if semantic_only:
                 sem_pred = jax.device_get(dev)
             else:
-                keep, conf, npoint, masks, sem_pred = jax.device_get(dev)
+                keep, conf, npoint, mask_bits, sem_pred = jax.device_get(dev)
+                masks = inst_utils.unpack_mask_bits(
+                    mask_bits, int(np.shape(batch["xyz"])[0]
+                                   * np.shape(batch["xyz"])[1]))
             gt_sem = np.asarray(batch["semantic"][0])
             gt_inst = np.asarray(batch["instance"][0])
 

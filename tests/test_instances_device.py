@@ -164,3 +164,14 @@ def test_instance_masks_overlap_preserved():
     m1 = preds[1]["mask"]
     assert m0.sum() == 20 and m1.sum() == 20          # full masks, no theft
     assert (m0 & m1).sum() == 15                      # overlap intact
+
+
+def test_pack_unpack_mask_bits_roundtrip():
+    rng = np.random.RandomState(3)
+    for n in (17, 64, 100):                    # odd, exact, padded sizes
+        masks = rng.rand(5, n, 4) < 0.3
+        bits = np.asarray(I.pack_mask_bits(np.asarray(masks)))
+        assert bits.dtype == np.uint8
+        assert bits.shape == (5, 4, -(-n // 8))
+        back = I.unpack_mask_bits(bits, n)
+        np.testing.assert_array_equal(back, masks)

@@ -90,7 +90,8 @@ def main():
             out.instance.iou_scores, out.instance.mask_scores,
             out.proposals.valid, cfg.num_primitives)
         sem_pred = jnp.argmax(out.semantic_scores, axis=-1)
-        return keep, conf, npoint, masks, sem_pred
+        return (keep, conf, npoint, inst_utils.pack_mask_bits(masks),
+                sem_pred)
 
     ecfg = cfg.replace(batch_size=1)
     eval_batches = [synth_scene_batch(ecfg, 1, seed=90000 + i)
@@ -109,7 +110,9 @@ def main():
         scenes, miou_sum, acc_sum = [], 0.0, 0.0
         for b, (xyz, feats) in zip(eval_batches, eval_dev):
             dev = eval_step(state.params, state.batch_stats, xyz, feats)
-            keep, conf, npoint, masks, sem_pred = jax.device_get(dev)
+            keep, conf, npoint, mask_bits, sem_pred = jax.device_get(dev)
+            masks = inst_utils.unpack_mask_bits(mask_bits,
+                                                int(xyz.shape[1]))
             gt_sem = np.asarray(b["semantic"][0])
             pw = instance_eval.pointwise_semantic_eval(
                 sem_pred[0] if sem_pred.ndim > 1 else sem_pred, gt_sem,
