@@ -284,6 +284,11 @@ for s in $steps; do case $s in
       --steps 1500 --bf16 --out /tmp/scene_conv_soft_s0.jsonl
     runwatch scene_conv_argmax python tools/scene_convergence_run.py \
       --steps 1500 --bf16 --soft 0 --out /tmp/scene_conv_argmax_s0.jsonl ;;
+  j3k_def_r5)
+    # strict_def full-3000 re-run alone (r4's was stall-killed at 2500)
+    runwatch j3k_strict_def_r5 python tools/convergence_run.py --steps 3000 \
+      --nn-nb 80 --recall exact --max-proposals 200 \
+      --out /tmp/conv_j3k_strict_def_r5.jsonl ;;
   j3k_close)
     # VERDICT r4 item 4: the LAST missing tuned-defaults cells —
     # strict_def_s1 (never ran) and a strict_def full-3000 re-run (r4's was
