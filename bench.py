@@ -75,10 +75,11 @@ def main():
         from gcanet_tpu.models.softgroup_scene import SoftGroupNet
         from gcanet_tpu.train import scene_step
 
-        # scene workload uses the SoftGroup scannetv2 grouping recipe
-        # (score_thr 0.2, npoint_thr on raw sizes, classes 0/1 ignored) —
-        # the ABC constants would drop every scene-scale proposal
-        cfg = cfg.replace(grouping=scene_grouping_defaults(cfg.grouping))
+        # scene workload uses the SoftGroup scannetv2 grouping recipe with
+        # the mean table at the synthetic per-class instance size (n/5)
+        cfg = cfg.replace(grouping=scene_grouping_defaults(
+            cfg.grouping,
+            class_numpoint_mean=(cfg.num_points / 5.0,) * 10))
         model = SoftGroupNet(
             cfg, scene_grid=int(os.environ.get("GCA_BENCH_SCENE_GRID", "64")),
             # default follows Config.scene_bf16 (ON since the 2026-08-20

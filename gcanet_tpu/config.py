@@ -72,23 +72,31 @@ class GroupingConfig:
     item_batch_mode: str = "map"
 
 
-def scene_grouping_defaults(base: "GroupingConfig | None" = None
-                            ) -> "GroupingConfig":
+def scene_grouping_defaults(
+        base: "GroupingConfig | None" = None,
+        class_numpoint_mean: "Tuple[float, ...] | None" = None,
+) -> "GroupingConfig":
     """Scene-family (vendored SoftGroup) grouping constants.
 
     The vendored tree ships no YAML configs, so these follow the public
-    SoftGroup scannetv2 recipe: ``score_thr`` 0.2 and ``npoint_thr`` 0.05
-    with ``class_numpoint_mean`` undefined (-1 — bfs_cluster.cpp:88-94 then
-    compares cluster size against the raw threshold), and classes 0/1
-    (wall/floor; the synthetic scenes' ``semantic = cls + 2`` never emits
-    them) excluded from grouping.  The ABC defaults (score_thr 0.45 and the
-    hierarchical_aggregation.cpp:7 mean table, instance sizes in the
-    thousands) would drop every proposal on scene-scale instances.
+    SoftGroup scannetv2 recipe: ``score_thr`` 0.2, ``npoint_thr`` 0.05 and
+    classes 0/1 (wall/floor) excluded from grouping.  The per-class mean
+    table stays the reference's ScanNet-scale values
+    (hierarchical_aggregation.cpp:7 — the GroupingConfig default) unless
+    ``class_numpoint_mean`` overrides it: the keep rule is ``size >=
+    npoint_thr * mean`` (bfs_cluster.cpp:88-94), so the means MUST match
+    the data's instance scale — the synthetic drivers pass their own
+    (``num_points / instances``).  A ``-1`` mean degrades the rule to the
+    raw 0.05 threshold, which keeps every singleton junk cluster and
+    saturates the class-major ``max_proposals`` truncation (measured as an
+    AP50 collapse 0.95 -> 0.71 on the soft-grouping A/B, round 5).
     """
     base = base if base is not None else GroupingConfig()
+    kw = {}
+    if class_numpoint_mean is not None:
+        kw["class_numpoint_mean"] = tuple(class_numpoint_mean)
     return dataclasses.replace(
-        base, score_thr=0.2, npoint_thr=0.05,
-        class_numpoint_mean=(-1.0,) * 10, ignore_classes=(0, 1))
+        base, score_thr=0.2, npoint_thr=0.05, ignore_classes=(0, 1), **kw)
 
 
 @dataclasses.dataclass

@@ -133,13 +133,23 @@ def synth_scene(cfg: Config, rng: np.random.RandomState,
 
     # per-class blob shapes: the semantic class must be observable from the
     # geometry or the CE floor is ln(num_classes) (class-by-instance-index is
-    # unlearnable — found when a convergence run sat at exactly that floor)
+    # unlearnable — found when a convergence run sat at exactly that floor).
+    # One DISTINCT shape per class: the original 5-entry table cycled under
+    # ``k % len(shapes)``, making class pairs (0,5), (1,6), (2,7)
+    # geometrically identical — under SOFT grouping every confusable blob
+    # then joins both classes' clusterings and emits a systematic duplicate
+    # proposal (measured AP50 0.71 vs argmax 0.95, round-5); argmax merely
+    # hid the ambiguity by picking one class.  8 separable shapes restore
+    # the observability invariant for both grouping modes.
     shapes = np.array([
         [0.020, 0.020, 0.020],        # tight sphere
         [0.060, 0.060, 0.060],        # large sphere
         [0.050, 0.050, 0.008],        # flat pancake
         [0.080, 0.012, 0.012],        # elongated rod
         [0.035, 0.035, 0.035],        # medium sphere
+        [0.012, 0.050, 0.050],        # upright disc (distinct axis order)
+        [0.025, 0.070, 0.025],        # tall ellipsoid
+        [0.055, 0.030, 0.010],        # tilted slab
     ], np.float32)
     n_classes = max(cfg.num_primitives - cls_offset, 1)
     centers = rng.rand(n_instances, 3) * 0.8 + 0.1

@@ -93,7 +93,12 @@ def test_scene_grouping_defaults_cli():
     g = c.grouping
     assert g.score_thr == 0.2 and g.npoint_thr == 0.05
     assert g.ignore_classes == (0, 1)
-    assert g.class_numpoint_mean == (-1.0,) * 10
+    # mean table stays the reference ScanNet-scale default
+    # (hierarchical_aggregation.cpp:7); synthetic drivers override it
+    assert g.class_numpoint_mean == GroupingConfig().class_numpoint_mean
+    assert scene_grouping_defaults(
+        class_numpoint_mean=(400.0,) * 10).class_numpoint_mean \
+        == (400.0,) * 10
     # explicit override still wins
     c2 = build_option(["--model_dict", "softgroup.model.softgroup",
                        "--ignore_classes", "0,1,2"])

@@ -69,9 +69,12 @@ def main():
     cfg = Config(num_points=args.points, batch_size=args.batch,
                  scene_bf16=args.bf16,
                  scene_soft_grouping=bool(args.soft),
-                 # SoftGroup scannetv2 grouping recipe (score_thr 0.2,
-                 # npoint_thr on raw sizes, classes 0/1 ignored)
-                 grouping=scene_grouping_defaults(), **kw)
+                 # SoftGroup scannetv2 grouping recipe, with the mean table
+                 # at the SYNTHETIC per-class instance size (5 instances per
+                 # scene -> n/5; keep thr = 0.05 * that filters the boundary
+                 # junk clusters soft membership creates)
+                 grouping=scene_grouping_defaults(
+                     class_numpoint_mean=(args.points / 5.0,) * 10), **kw)
     model = SoftGroupNet(cfg, scene_grid=args.grid,
                          compute_bf16=cfg.scene_bf16)
     tx = step_lib.make_optimizer(cfg)
