@@ -182,8 +182,13 @@ def masked_min_sweep_multi(nbr_i8: jnp.ndarray, labels: jnp.ndarray,
     """
     n_pad = nbr_i8.shape[0]
     c = labels.shape[0]
-    # same VMEM budget as the single-class sweep, minus the resident labels
-    tm = _divisor_tile(n_pad, min(512, _BLOCK_BYTES // n_pad), 32)
+    # VMEM budget must count the kernel's INT32 temporaries, not just the
+    # int8 input tile: the unrolled class loop holds the promoted mask and
+    # a masked-select intermediate (~9 bytes/elem live at once), and Mosaic
+    # allocates them on the scoped stack — tm=256 at N=8192 measured 17.15M
+    # against the 16M limit (round-5 queue).  Budget ~6MB of temporaries.
+    tm = _divisor_tile(n_pad, min(512, (6 * 1024 * 1024) // (12 * n_pad)),
+                       32)
     out = pl.pallas_call(
         _sweep_kernel_multi,
         grid=(n_pad // tm,),
