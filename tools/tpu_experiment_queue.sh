@@ -270,6 +270,24 @@ for s in $steps; do case $s in
     run scene_soft_b4   env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 python bench.py
     run scene_argmax_b4 env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 \
       GCA_BENCH_SCENE_SOFT=0 python bench.py ;;
+  scene_r5_extra)
+    # round-5 follow-ups: B>8 plain (B=8 fits without remat, trend rising),
+    # grid-48 at the winning batch, and the fixed multi-class CC A/B pair
+    run scene_b10_plain env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=10 python bench.py
+    run scene_g48_b8   env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=8 \
+      GCA_BENCH_SCENE_GRID=48 python bench.py
+    run soft_cc_multi2 env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=8 \
+      GCA_BENCH_SOFT_CC=auto python bench.py
+    run soft_cc_ctrl2  env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=8 \
+      python bench.py
+    run scene_b12_plain env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=12 python bench.py ;;
+  scene_g48_conv)
+    # grid-48 adoption gate: scene convergence at grid 64 (bench default,
+    # control) vs 48 (candidate) — soft grouping, same seed/steps
+    runwatch gconv_g64 python tools/scene_convergence_run.py --steps 1500 \
+      --bf16 --grid 64 --out /tmp/scene_conv_g64.jsonl
+    runwatch gconv_g48 python tools/scene_convergence_run.py --steps 1500 \
+      --bf16 --grid 48 --out /tmp/scene_conv_g48.jsonl ;;
   scene_soft_cc)
     # Fused multi-class CC A/B (commit b70abae): one geo-mask pass serves
     # all classes' label propagation.  Adopt soft_cc_impl="auto" on a win.
