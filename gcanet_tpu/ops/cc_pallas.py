@@ -184,11 +184,13 @@ def masked_min_sweep_multi(nbr_i8: jnp.ndarray, labels: jnp.ndarray,
     c = labels.shape[0]
     # VMEM budget must count the kernel's INT32 temporaries, not just the
     # int8 input tile: the unrolled class loop holds the promoted mask and
-    # a masked-select intermediate (~9 bytes/elem live at once), and Mosaic
-    # allocates them on the scoped stack — tm=256 at N=8192 measured 17.15M
-    # against the 16M limit (round-5 queue).  Budget ~6MB of temporaries.
+    # a masked-select intermediate (~8-9 bytes/elem live at once, measured
+    # 17.15M scoped at tm=256/N=8192 against the 16M limit).  Budget ~6MB
+    # of temporaries; step 128 because the OUT block's lane dim is tm
+    # (Mosaic requires the last block dim divisible by 128) — the step
+    # floor keeps tm=128 (~8.6M scoped at N=8192, fits).
     tm = _divisor_tile(n_pad, min(512, (6 * 1024 * 1024) // (12 * n_pad)),
-                       32)
+                       128)
     out = pl.pallas_call(
         _sweep_kernel_multi,
         grid=(n_pad // tm,),
