@@ -36,13 +36,6 @@ class GroupingConfig:
     # clustering (softgroup.py:434 ``ignore_classes`` — e.g. wall/floor on
     # ScanNet).  Unused by the ABC argmax path.
     ignore_classes: Tuple[int, ...] = ()
-    # Soft-grouping CC backend.  "per_class": one masked CC per class
-    # (sequential, gc passes over the [N, N] mask per sweep).  "auto"/
-    # "pallas"/"xla": the fused multi-class CC — one pass over the geo mask
-    # serves all classes' label propagation (cc_pallas.py::
-    # connected_components_multi; "auto" = pallas kernel on TPU, vmapped XLA
-    # sweep elsewhere).  Default pending the TPU A/B (GCA_BENCH_SOFT_CC).
-    soft_cc_impl: str = "per_class"
     low_frac: float = 0.05            # kept-fragment lower bound (hierarchical_aggregation.cpp:60)
     high_frac: float = 0.3            # primary threshold (hierarchical_aggregation.cpp:61)
     set_aggr_r_coeff: float = 0.01    # r_set = coeff * sqrt(primary_npoint) (hierarchical_aggregation.cu:51)
@@ -339,10 +332,7 @@ def bench_config() -> Config:
             os.environ.get("GCA_BENCH_SCENE_SOFT", "1"))),
         grouping=GroupingConfig(
             item_batch_mode="vmap" if group_vmap else "map",
-            cc_impl=cc_impl,
-            # GCA_BENCH_SOFT_CC: "per_class" (default) | "auto" (fused
-            # multi-class CC) — the scene soft-grouping A/B knob
-            soft_cc_impl=os.environ.get("GCA_BENCH_SOFT_CC", "per_class")),
+            cc_impl=cc_impl),
         instance_head=(InstanceHeadConfig(max_proposals=props) if props
                        else InstanceHeadConfig()),
         **({"nn_nb": nn_nb} if nn_nb else {}))

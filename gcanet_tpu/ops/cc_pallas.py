@@ -146,132 +146,15 @@ def connected_components_pallas(nbr: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# Multi-class sweep for the scene family's SOFT grouping: C independent
-# per-class label vectors propagate over ONE shared geometric radius graph
-# (class membership is encoded in the label init — non-members carry the
-# _BIG_I sentinel, which a min can never select, so propagation runs exactly
-# along member->member edges of each class).  The per-class-sequential form
-# streams the [N, N] mask from HBM once PER CLASS; this kernel streams it
-# ONCE and does the C masked-min reductions while the tile is in VMEM —
-# C x less sweep HBM traffic, which is the soft path's measured overhead
-# (BASELINE.md round-5: soft 17.05 vs argmax 19.67 clouds/s at B=4,
-# hbm_util 0.93 — the step is HBM-bound).
+# Tombstone 2: a FUSED MULTI-CLASS sweep for soft grouping (one pass over
+# the shared geo mask propagating all C class label vectors, membership
+# encoded in the label init) was built and REJECTED in-round (2026-08-21):
+# paired e2e at B=8/grid 64 it measured 20.45 vs 21.95 clouds/s for the
+# per-class path (-6.8%) — the sweep is ALU-bound, not mask-byte-bound
+# (the same lesson as the pallas32 reject), and the fused while_loop loses
+# the per-class early exit.  Two Mosaic constraints were also learned and
+# are worth keeping: scoped-VMEM must budget the kernel's int32 promoted
+# temporaries (~8-9 B/elem live; 17.15M > 16M at tm=256/N=8192), and the
+# OUT block's lane dim must divide by 128.  BASELINE.md round-5 rows keep
+# the record; git history (b70abae..) has the code.
 # ---------------------------------------------------------------------------
-
-
-def _sweep_kernel_multi(nbr_ref, lab_ref, out_ref):
-    v = nbr_ref[...].astype(jnp.int32)                    # [TM, Np] 0/1
-    labs = lab_ref[...]                                   # [C, Np] int32
-    c = labs.shape[0]
-    outs = []
-    for ci in range(c):                                   # static unroll
-        masked = v * labs[ci][None, :] + (1 - v) * _BIG_I
-        outs.append(jnp.min(masked, axis=1))              # [TM]
-    out_ref[...] = jnp.stack(outs, axis=0)                # [C, TM]
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def masked_min_sweep_multi(nbr_i8: jnp.ndarray, labels: jnp.ndarray,
-                           interpret: bool = False) -> jnp.ndarray:
-    """For each class c: min over j of labels[c, j] where nbr[i, j] != 0.
-
-    nbr_i8: [Np, Np] int8 (Np a multiple of 256), labels: [C, Np] int32.
-    Returns [C, Np] int32 with _BIG_I where a row has no contributing
-    neighbour.  One pass over the mask serves all C classes (the lane axis
-    of every block is the point axis — C is tiny and lives on sublanes).
-    """
-    n_pad = nbr_i8.shape[0]
-    c = labels.shape[0]
-    # VMEM budget must count the kernel's INT32 temporaries, not just the
-    # int8 input tile: the unrolled class loop holds the promoted mask and
-    # a masked-select intermediate (~8-9 bytes/elem live at once, measured
-    # 17.15M scoped at tm=256/N=8192 against the 16M limit).  Budget ~6MB
-    # of temporaries; step 128 because the OUT block's lane dim is tm
-    # (Mosaic requires the last block dim divisible by 128) — the step
-    # floor keeps tm=128 (~8.6M scoped at N=8192, fits).
-    tm = _divisor_tile(n_pad, min(512, (6 * 1024 * 1024) // (12 * n_pad)),
-                       128)
-    out = pl.pallas_call(
-        _sweep_kernel_multi,
-        grid=(n_pad // tm,),
-        in_specs=[
-            pl.BlockSpec((tm, n_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, n_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((c, tm), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, n_pad), jnp.int32),
-        interpret=interpret,
-    )(nbr_i8, labels)
-    return out
-
-
-def connected_components_multi(geo: jnp.ndarray, member: jnp.ndarray,
-                               max_iters: int = 64,
-                               impl: str = "auto") -> jnp.ndarray:
-    """Per-class connected components over one shared geometric graph.
-
-    geo: [N, N] bool symmetric radius graph (no class gating).
-    member: [C, N] bool per-class soft membership.
-    Returns labels [C, N] int32: for member points, the min member index of
-    the point's class-c component (propagation strictly along edges whose
-    BOTH endpoints are class-c members); _BIG_I sentinel for non-members.
-
-    Equivalent to running ``connected_components(geo & m & m.T)`` per class
-    (oracle-tested), at 1/C the sweep HBM traffic on TPU via the fused
-    multi-class kernel; the XLA fallback vmaps the per-class sweep.
-    """
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    c, n = member.shape
-    idx = jnp.arange(n, dtype=jnp.int32)
-    init = jnp.where(member, idx[None, :], _BIG_I)        # [C, N]
-
-    if impl == "pallas":
-        n_pad = -(-max(n, _PAD) // _PAD) * _PAD
-        geo_i8 = geo.astype(jnp.int8)
-        if n_pad != n:
-            geo_i8 = jnp.zeros((n_pad, n_pad), jnp.int8
-                               ).at[:n, :n].set(geo_i8)
-            init = jnp.concatenate(
-                [init, jnp.full((c, n_pad - n), _BIG_I, jnp.int32)], axis=1)
-        interpret = _use_interpret()
-
-        def sweep(labels):
-            return masked_min_sweep_multi(geo_i8, labels,
-                                          interpret=interpret)
-        n_eff = n_pad
-    else:
-        def sweep(labels):
-            # [C, N] labels against the shared [N, N] graph, per class:
-            # min_j geo[i, j] ? labels[c, j] : BIG  (vmapped over classes)
-            return jax.vmap(lambda lab: jnp.min(
-                jnp.where(geo, lab[None, :], _BIG_I), axis=1))(labels)
-        n_eff = n
-
-    memb = init < _BIG_I                                  # padded member mask
-
-    def body(state):
-        labels, _, it = state
-        nbr_min = sweep(labels)
-        new = jnp.minimum(labels, nbr_min)
-        # non-members must stay at the sentinel: a geo edge from a member
-        # neighbour would otherwise label them and create phantom bridges
-        new = jnp.where(memb, new, _BIG_I)
-        # pointer jumping per class (gather indices clamped off the sentinel)
-        safe = jnp.minimum(new, n_eff - 1)
-        new = jnp.minimum(new, jnp.take_along_axis(new, safe, axis=1))
-        safe = jnp.minimum(new, n_eff - 1)
-        new = jnp.minimum(new, jnp.take_along_axis(new, safe, axis=1))
-        new = jnp.where(memb, new, _BIG_I)
-        changed = jnp.any(new != labels)
-        return new, changed, it + 1
-
-    def cond(state):
-        _, changed, it = state
-        return changed & (it < max_iters)
-
-    labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
-    return labels[:, :n]

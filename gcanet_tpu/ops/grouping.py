@@ -434,23 +434,9 @@ def build_soft_proposals(
         geo = (d2 < cfg.radius**2) & ~jnp.eye(n, dtype=bool)
         memb = member_i.T.astype(bool)             # [gc, N]
 
-        if cfg.soft_cc_impl != "per_class":
-            # fused multi-class CC: ONE pass over the [N, N] geo mask per
-            # sweep serves all gc classes (membership encoded in the label
-            # init) instead of gc separate masked sweeps — 1/gc the sweep
-            # HBM traffic (ops/cc_pallas.py::connected_components_multi)
-            from gcanet_tpu.ops import cc_pallas
-
-            labels = cc_pallas.connected_components_multi(
-                geo, memb, cfg.cc_max_iters, impl=cfg.soft_cc_impl)
-            # restore the own-index convention for non-members (the multi
-            # kernel leaves the _BIG_I sentinel there)
-            labels = jnp.where(memb, labels,
-                               jnp.arange(n, dtype=jnp.int32)[None, :])
-            size = jax.vmap(lambda lab, m: jax.ops.segment_sum(
-                m.astype(jnp.int32), lab, num_segments=n)[lab])(labels, memb)
-            return labels, size
-
+        # Per-class masked CC over the shared geometric graph.  (A fused
+        # multi-class sweep — one geo pass serving all classes — was built
+        # and REJECTED: -6.8% e2e; cc_pallas.py tombstone 2 has the record.)
         def per_class(m):                          # m: [N] bool
             nbr = geo & m[:, None] & m[None, :]
             labels = connected_components(nbr, cfg.cc_max_iters, cfg.cc_impl)

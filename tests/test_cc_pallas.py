@@ -90,45 +90,3 @@ def test_masked_min_sweep_values():
     assert out[0] == 30                     # min(10*3, 20*3)
     assert out[5] == 255 * 3
     assert out[1] == cc_pallas._BIG_I       # no neighbours
-
-
-@pytest.mark.parametrize("seed,n,c,p", [
-    (0, 60, 3, 0.08), (1, 300, 7, 0.02), (2, 257, 5, 0.03),
-    (3, 600, 8, 0.01),   # n_pad=768 exercises the padded multi path
-])
-@pytest.mark.parametrize("impl", ["xla", "pallas"])
-def test_multi_class_cc_matches_per_class(seed, n, c, p, impl):
-    """connected_components_multi == per-class connected_components on the
-    class-masked graph, for member points; sentinel elsewhere."""
-    rng = np.random.default_rng(seed)
-    geo = rng.random((n, n)) < p
-    geo = (geo | geo.T) & ~np.eye(n, dtype=bool)
-    member = rng.random((c, n)) < 0.45
-    got = np.asarray(cc_pallas.connected_components_multi(
-        jnp.asarray(geo), jnp.asarray(member), impl=impl))
-    for ci in range(c):
-        m = member[ci]
-        nbr = geo & m[:, None] & m[None, :]
-        want = np.asarray(connected_components(jnp.asarray(nbr), impl="xla"))
-        np.testing.assert_array_equal(got[ci][m], want[m])
-        assert (got[ci][~m] == 2**30).all()
-
-
-def test_multi_class_cc_chain():
-    # worst-case chain per class with interleaved membership: propagation
-    # must run ONLY through same-class members, never bridge via non-members
-    n, c = 200, 2
-    geo = np.zeros((n, n), bool)
-    idx = np.arange(n - 1)
-    geo[idx, idx + 1] = True
-    geo = geo | geo.T
-    member = np.zeros((c, n), bool)
-    member[0, 0:100] = True           # one 100-chain for class 0
-    member[1, 0::2] = True            # every other point for class 1:
-    #                                   geo is a chain, so class-1 members
-    #                                   are all isolated (gaps break edges)
-    got = np.asarray(cc_pallas.connected_components_multi(
-        jnp.asarray(geo), jnp.asarray(member), max_iters=64, impl="xla"))
-    np.testing.assert_array_equal(got[0][:100], np.zeros(100, np.int64))
-    evens = np.arange(0, n, 2)
-    np.testing.assert_array_equal(got[1][evens], evens)  # all singletons

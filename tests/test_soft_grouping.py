@@ -114,27 +114,3 @@ def test_scene_defaults_preserve_strict_caps():
                       "--strict_caps", "1"])
     assert c.grouping.neighbor_cap == 3000
     assert c.grouping.score_thr == 0.2
-
-
-def test_soft_cc_impl_equivalence():
-    """build_soft_proposals with the fused multi-class CC (soft_cc_impl
-    'xla'/'auto') must emit IDENTICAL Proposals to the per-class path."""
-    import dataclasses
-    import jax
-
-    rng = np.random.RandomState(7)
-    b, n, c = 2, 120, 5
-    xyz = rng.rand(b, n, 3).astype(np.float32)
-    logits = rng.randn(b, n, c).astype(np.float32) * 2
-    base = GroupingConfig(radius=0.12, score_thr=0.2, npoint_thr=0.05,
-                          min_npoint=3, class_numpoint_mean=(-1.0,) * c,
-                          ignore_classes=(0,))
-    outs = {}
-    for impl in ("per_class", "xla"):
-        cfg = dataclasses.replace(base, soft_cc_impl=impl)
-        outs[impl] = jax.tree_util.tree_map(
-            np.asarray, build_soft_proposals(
-                jnp.asarray(xyz), jnp.asarray(logits), c, cfg,
-                max_proposals=32))
-    for a, bb in zip(outs["per_class"], outs["xla"]):
-        np.testing.assert_array_equal(a, bb)

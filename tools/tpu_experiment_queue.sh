@@ -276,9 +276,7 @@ for s in $steps; do case $s in
     run scene_b10_plain env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=10 python bench.py
     run scene_g48_b8   env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=8 \
       GCA_BENCH_SCENE_GRID=48 python bench.py
-    run soft_cc_multi2 env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=8 \
-      GCA_BENCH_SOFT_CC=auto python bench.py
-    run soft_cc_ctrl2  env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=8 \
+    run scene_b8_ctrl  env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=8 \
       python bench.py
     run scene_b12_plain env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=12 python bench.py ;;
   scene_g48_conv)
@@ -288,13 +286,9 @@ for s in $steps; do case $s in
       --bf16 --grid 64 --out /tmp/scene_conv_g64.jsonl
     runwatch gconv_g48 python tools/scene_convergence_run.py --steps 1500 \
       --bf16 --grid 48 --out /tmp/scene_conv_g48.jsonl ;;
-  scene_soft_cc)
-    # Fused multi-class CC A/B (commit b70abae): one geo-mask pass serves
-    # all classes' label propagation.  Adopt soft_cc_impl="auto" on a win.
-    run soft_cc_multi env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 \
-      GCA_BENCH_SOFT_CC=auto python bench.py
-    run soft_cc_ctrl  env GCA_BENCH_FAMILY=scene GCA_BENCH_BATCH=4 \
-      python bench.py ;;
+  # (scene_soft_cc step removed: the fused multi-class CC sweep was
+  # REJECTED 2026-08-21 — 20.45 vs 21.95 clouds/s paired at B=8 — and its
+  # code deleted; cc_pallas.py tombstone 2 + BASELINE.md keep the record.)
   scene_soft_conv)
     # soft-vs-argmax AP convergence gate (VERDICT r4 item 2: "AP not
     # degraded vs argmax"): same seed/steps/defaults, only grouping differs
