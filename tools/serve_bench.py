@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--paths", default="fwd,predict,batch,stream",
                     help="comma subset of fwd,predict,batch,stream")
+    ap.add_argument("--family", default="abc", choices=["abc", "scene"],
+                    help="scene = ScenePredictor (SoftGroup switchover "
+                         "surface): predict/batch/stream paths")
+    ap.add_argument("--scene-grid", type=int, default=48,
+                    help="scene voxel grid (48 = the round-5 tuned bench "
+                         "default; 64 = the model's conservative default)")
     args = ap.parse_args()
     enable_compilation_cache()
 
@@ -37,6 +43,8 @@ def main():
     from gcanet_tpu.data.synthetic import synth_batch
     from gcanet_tpu.serve import Predictor
 
+    if args.family == "scene":
+        return scene_main(args)
     cfg = bench_config().replace(using_set_aggr=True)
     b = cfg.batch_size
     pred = Predictor(cfg)
@@ -121,6 +129,66 @@ def main():
             (xyz, nrm) for _ in range(args.iters)))
         emit(f"serve_predict_stream_clouds_per_sec_b{b}", n_out,
              time.perf_counter() - t0)
+
+
+
+
+def scene_main(args):
+    """Scene-family serving throughput: ScenePredictor predict / batch /
+    stream on synthetic scenes at the bench shapes.  First scene-serving
+    measurement (round 5); the packed-bits mask fetch keeps the
+    device->host payload ~1/8 of the plain masks."""
+    import json as _json
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gcanet_tpu.config import bench_config, scene_grouping_defaults
+    from gcanet_tpu.data.synthetic import synth_scene_batch
+    from gcanet_tpu.serve import ScenePredictor
+
+    cfg = bench_config()
+    cfg = cfg.replace(grouping=scene_grouping_defaults(
+        cfg.grouping, class_numpoint_mean=(cfg.num_points / 5.0,) * 10))
+    b = cfg.batch_size
+    pred = ScenePredictor(cfg, scene_grid=args.scene_grid)
+    batch = synth_scene_batch(cfg, b, seed=0)
+    xyz = np.asarray(batch["xyz"], np.float32)
+    feats = np.asarray(batch["feats"], np.float32)
+
+    def emit(metric, clouds, dt):
+        print(_json.dumps({
+            "metric": metric,
+            "value": round(clouds / dt, 3),
+            "unit": "clouds/s",
+            "config": {"points": cfg.num_points, "batch": b,
+                       "grid": args.scene_grid, "iters": args.iters},
+        }), flush=True)
+
+    paths = set(args.paths.split(","))
+    if "predict" in paths:
+        pred.predict(xyz[0], feats[0])             # compile + warm
+        t0 = _time.perf_counter()
+        for _ in range(args.iters):
+            pred.predict(xyz[0], feats[0])
+        emit("scene_serve_predict_clouds_per_sec_b1", args.iters,
+             _time.perf_counter() - t0)
+    if "batch" in paths:
+        pred.predict_batch(xyz, feats)             # compile + warm
+        t0 = _time.perf_counter()
+        for _ in range(args.iters):
+            pred.predict_batch(xyz, feats)
+        emit(f"scene_serve_predict_batch_clouds_per_sec_b{b}",
+             b * args.iters, _time.perf_counter() - t0)
+    if "stream" in paths:
+        list(pred.predict_stream([(xyz, feats)]))  # compile + warm
+        t0 = _time.perf_counter()
+        n_out = sum(1 for _ in pred.predict_stream(
+            (xyz, feats) for _ in range(args.iters)))
+        emit(f"scene_serve_predict_stream_clouds_per_sec_b{b}", n_out,
+             _time.perf_counter() - t0)
 
 
 if __name__ == "__main__":
