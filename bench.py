@@ -80,6 +80,11 @@ def main():
         cfg = cfg.replace(grouping=scene_grouping_defaults(
             cfg.grouping,
             class_numpoint_mean=(cfg.num_points / 5.0,) * 10))
+        if "GCA_BENCH_BATCH" not in os.environ:
+            # scene sweet spot is B=8 (ladder, BASELINE round-5: 21.95 at
+            # grid 64 / 33.78 at grid 48 vs B=10's 17.6/30.5) — the ABC
+            # headline's B=10 default is wrong for this family
+            cfg = cfg.replace(batch_size=8)
         # scene grid default 48 (ADOPTED 2026-08-21 round 5): +54% over
         # grid 64 at B=8 (33.78 vs 21.95 clouds/s), convergence gate green
         # (gconv_g64 vs gconv_g48, docs/conv_r5/ — identical AP50 at the
